@@ -1,0 +1,34 @@
+"""PointNet semantic segmentation model (BASELINE config 2).
+
+Reference behavior (model/pointnet.py::PointNetSeg / PointNetDenseCls,
+SURVEY.md §2): encoder in segmentation mode yields 1088-d per-point features
+(1024 global broadcast + 64 point features); pointwise convs
+1088->512->256->128->classes with BN+ReLU, per-point log_softmax.
+Returns ``(log_probs (B, N, classes), trans_feat)``.
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointnet12_tpu.nn.encoder import PointNetEncoder
+from pointnet12_tpu.nn.mlp import SharedMLP
+
+
+class PointNetSeg(nn.Module):
+    num_classes: int = 13
+    feature_transform: bool = False
+
+    @nn.compact
+    def __call__(
+        self, points: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        x, _, trans_feat = PointNetEncoder(
+            global_feat=False,
+            feature_transform=self.feature_transform,
+            name="feat",
+        )(points, train=train)  # (B, N, 1088)
+        x = SharedMLP([512, 256, 128], name="head")(x, train=train)
+        x = nn.Dense(self.num_classes, name="out")(x)
+        return nn.log_softmax(x, axis=-1), trans_feat

@@ -1,0 +1,78 @@
+"""PointNet encoder backbone.
+
+Reference behavior (model/pointnet.py::PointNetEncoder, SURVEY.md §2):
+optional input T-Net (3x3) applied to xyz, pointwise conv 3->64 (BN+ReLU),
+optional feature T-Net (64x64) applied to the 64-d point features, convs
+64->128 and 128->1024 (BN each, ReLU on the first only — the reference has
+no ReLU between bn3 and the global max), global max-pool to the 1024-d
+global feature. The segmentation variant concatenates the broadcast global
+feature with the per-point 64-d features (1088 per point).
+
+Channels-last throughout: input ``(B, N, C)`` with C >= 3; extra channels
+beyond xyz (e.g. normals) bypass the input transform, matching the
+reference's split/concat behavior.
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointnet12_tpu.nn.mlp import BN_EPS, BN_MOMENTUM
+from pointnet12_tpu.nn.tnet import TNet
+
+
+def _dense_bn(x, width, name, train):
+    x = nn.Dense(width, name=f"{name}")(x)
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=BN_MOMENTUM,
+        epsilon=BN_EPS,
+        name=f"{name}_bn",
+    )(x)
+
+
+class PointNetEncoder(nn.Module):
+    """PointNet backbone producing a 1024-d global feature.
+
+    Attributes:
+      global_feat: if True return the global feature (classification); else
+        return per-point [pointfeat | global] concat (segmentation).
+      feature_transform: enable the 64-d feature T-Net.
+      input_transform: enable the input (3x3) T-Net.
+    """
+
+    global_feat: bool = True
+    feature_transform: bool = False
+    input_transform: bool = True
+
+    @nn.compact
+    def __call__(
+        self, points, train: bool = False
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        B, N, C = points.shape
+        xyz, extra = points[..., :3], points[..., 3:]
+
+        trans = None
+        if self.input_transform:
+            trans = TNet(k=3, name="stn")(xyz, train=train)
+            xyz = jnp.einsum("bnk,bkj->bnj", xyz, trans)
+        x = jnp.concatenate([xyz, extra], axis=-1) if C > 3 else xyz
+
+        x = nn.relu(_dense_bn(x, 64, "conv1", train))
+
+        trans_feat = None
+        if self.feature_transform:
+            trans_feat = TNet(k=64, name="fstn")(x, train=train)
+            x = jnp.einsum("bnk,bkj->bnj", x, trans_feat)
+
+        pointfeat = x  # (B, N, 64)
+        x = nn.relu(_dense_bn(x, 128, "conv2", train))
+        x = _dense_bn(x, 1024, "conv3", train)  # no ReLU before global max
+        global_feat = jnp.max(x, axis=1)  # (B, 1024)
+
+        if self.global_feat:
+            return global_feat, trans, trans_feat
+        # Reference concat order is [global(1024) | pointfeat(64)].
+        tiled = jnp.broadcast_to(global_feat[:, None, :], (B, N, 1024))
+        return jnp.concatenate([tiled, pointfeat], axis=-1), trans, trans_feat

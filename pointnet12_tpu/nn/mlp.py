@@ -1,0 +1,55 @@
+"""Shared per-point MLP: Dense + BatchNorm + ReLU over the feature axis.
+
+Reference behavior: stacks of 1x1 ``nn.Conv2d``/``nn.Conv1d`` + ``BatchNorm``
++ ReLU applied pointwise over ``(B, C, K, S)`` / ``(B, C, N)`` (SURVEY.md §2,
+PointNetSetAbstraction & friends). A 1x1 conv over points IS a matmul over
+the channel axis, so the TPU-native form is ``nn.Dense`` on channels-last
+tensors — one MXU matmul per layer with BN+ReLU fused by XLA.
+
+BatchNorm parity notes (SURVEY.md §7 "hard parts"):
+  * torch ``momentum=0.1`` updates ``running = 0.9*running + 0.1*batch``;
+    flax's ``momentum`` is the complement, so we pass ``momentum=0.9``.
+  * torch normalizes with biased batch variance (like flax) but updates the
+    running variance with the *unbiased* estimate; flax uses biased for both.
+    Eval-parity tests import torch running stats directly, so this only
+    perturbs training statistics at O(1/batch) — accepted drift.
+  * torch keeps conv bias even under BN (redundant); we mirror it so the
+    parameter trees map 1:1 for weight import.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+
+BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
+BN_EPS = 1e-5
+
+
+class SharedMLP(nn.Module):
+    """Stack of Dense(+BN)+ReLU layers applied over the last axis.
+
+    Attributes:
+      features: output width of each layer.
+      use_bn: apply BatchNorm after each Dense (reference always does).
+      final_act: apply ReLU after the last layer (reference MLPs do; heads
+        that end in logits pass False and add their own tail).
+    """
+
+    features: Sequence[int]
+    use_bn: bool = True
+    final_act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, width in enumerate(self.features):
+            x = nn.Dense(width, name=f"dense_{i}")(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=BN_MOMENTUM,
+                    epsilon=BN_EPS,
+                    name=f"bn_{i}",
+                )(x)
+            if self.final_act or i < len(self.features) - 1:
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,104 @@
+"""PointNet++ set-abstraction layers (SSG and MSG).
+
+Reference behavior (model/pointnet_util.py::PointNetSetAbstraction /
+PointNetSetAbstractionMsg, SURVEY.md §2): sample+group, shared MLP over the
+grouped ``(B, S, K, C)`` tensor, max-pool over the K neighbors. The MSG
+variant runs several (radius, K, mlp) branches at shared FPS centers and
+concatenates branch outputs along channels.
+
+TPU-native notes: the grouped tensor stays channels-last so each MLP layer
+is one MXU batched matmul ``(B*S*K, C_in) x (C_in, C_out)``; the K-max is a
+VPU reduction XLA fuses with the final ReLU. FPS is computed once per layer
+and shared across MSG branches.
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointnet12_tpu.nn.mlp import SharedMLP
+from pointnet12_tpu.ops.ballquery import query_ball_point
+from pointnet12_tpu.ops.fps import farthest_point_sample
+from pointnet12_tpu.ops.gather import index_points
+from pointnet12_tpu.ops.grouping import sample_and_group, sample_and_group_all
+
+
+class SetAbstraction(nn.Module):
+    """Single-scale-grouping SA layer (or the final group-all layer).
+
+    Input/output are channels-last: ``xyz (B, N, 3)``, ``feats (B, N, D)`` ->
+    ``new_xyz (B, S, 3)``, ``new_feats (B, S, mlp[-1])``.
+    """
+
+    npoint: int = 0  # ignored when group_all
+    radius: float = 0.0
+    nsample: int = 0
+    mlp: Sequence[int] = ()
+    group_all: bool = False
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        feats: Optional[jnp.ndarray],
+        train: bool = False,
+        fps_key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.group_all:
+            new_xyz, grouped = sample_and_group_all(xyz, feats)
+        else:
+            new_xyz, grouped = sample_and_group(
+                self.npoint,
+                self.radius,
+                self.nsample,
+                xyz,
+                feats,
+                fps_key=fps_key,
+                impl=self.impl,
+            )
+        x = SharedMLP(self.mlp, name="mlp")(grouped, train=train)
+        return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
+
+
+class SetAbstractionMSG(nn.Module):
+    """Multi-scale-grouping SA layer: shared FPS, per-branch ball query."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jnp.ndarray,
+        feats: Optional[jnp.ndarray],
+        train: bool = False,
+        fps_key: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        fps_idx = farthest_point_sample(
+            xyz, self.npoint, key=fps_key, impl=self.impl
+        )
+        new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+
+        branch_outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radius_list, self.nsample_list, self.mlp_list)
+        ):
+            group_idx = query_ball_point(
+                radius, nsample, xyz, new_xyz, impl=self.impl
+            )
+            grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, index_points(feats, group_idx)], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            x = SharedMLP(mlp, name=f"branch_{i}")(grouped, train=train)
+            branch_outs.append(jnp.max(x, axis=2))
+        return new_xyz, jnp.concatenate(branch_outs, axis=-1)

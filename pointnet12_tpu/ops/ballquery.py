@@ -1,0 +1,73 @@
+"""Fixed-K radius neighborhood search ("ball query").
+
+Reference behavior (model/pointnet_util.py::query_ball_point, SURVEY.md §2).
+The semantics matter for parity and are NOT "K nearest within radius":
+
+1. candidate indices with ``sqrdist > radius^2`` are replaced by ``N``,
+2. the index array is sorted ascending (so in-radius points come first,
+   **ordered by index**, not by distance),
+3. the first ``nsample`` entries are taken,
+4. remaining ``N`` markers (out-of-radius slots) are replaced by the FIRST
+   in-radius index — i.e. padded with duplicates of the first neighbor.
+
+Because query centers come from FPS over the same cloud, the center itself is
+always in-radius (distance 0), so slot 0 is always valid.
+
+TPU-native design: instead of materializing and sorting a ``(B, S, N)``
+index matrix, build ``score = where(in_radius, point_index, N)`` and take the
+``nsample`` smallest scores with ``lax.top_k`` on the negated score — O(N·K)
+selection, no full sort. The distance matrix itself is one MXU einsum. The
+Pallas fast path computes distances tile-by-tile so ``(B, S, N)`` never
+touches HBM.
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from pointnet12_tpu.ops.distance import square_distance
+
+
+def _ballquery_jnp(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> jnp.ndarray:
+    B, N, _ = xyz.shape
+    sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    score = jnp.where(sqrdists <= radius * radius, idx, N)  # (B, S, N)
+    # K smallest scores == first-K in-radius indices (ascending), padded by N.
+    neg_val, _ = lax.top_k(-score, nsample)  # values descending => score asc
+    group_idx = -neg_val  # (B, S, nsample), sorted ascending, N = padding
+    first = group_idx[..., :1]
+    return jnp.where(group_idx == N, first, group_idx).astype(jnp.int32)
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    *,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Indices of up to ``nsample`` points of ``xyz`` within ``radius`` of each query.
+
+    Args:
+      radius: ball radius (static float).
+      nsample: fixed group size K (static).
+      xyz: ``(B, N, 3)`` all points.
+      new_xyz: ``(B, S, 3)`` query centers.
+      impl: ``"jnp"``, ``"pallas"`` or ``"auto"``.
+
+    Returns:
+      ``(B, S, nsample)`` int32 indices into N, replicating the reference's
+      first-K-by-index + pad-with-first semantics.
+    """
+    if impl == "auto":
+        from pointnet12_tpu.kernels import dispatch
+
+        impl = "pallas" if dispatch.pallas_enabled() else "jnp"
+    if impl == "pallas":
+        from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
+
+        return ballquery_pallas(radius, nsample, xyz, new_xyz)
+    return _ballquery_jnp(radius, nsample, xyz, new_xyz)

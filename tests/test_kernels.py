@@ -1,0 +1,75 @@
+"""Pallas kernel parity vs the jnp reference ops (interpreter mode on CPU).
+
+Compiled-TPU parity for the same kernels is exercised by bench.py on the
+real chip; here `interpret=True` acts as the kernel sanitizer (SURVEY.md §5).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
+from pointnet12_tpu.kernels.fps_pallas import fps_pallas
+from pointnet12_tpu.ops.ballquery import _ballquery_jnp
+from pointnet12_tpu.ops.fps import _fps_jnp
+from pointnet12_tpu.ops.gather import index_points
+
+B, N, S, K = 2, 256, 64, 8
+RADIUS = 0.3
+
+
+@pytest.fixture(scope="module")
+def clouds():
+    rng = np.random.RandomState(7)
+    return jnp.asarray(rng.uniform(size=(B, N, 3)).astype(np.float32))
+
+
+def test_fps_pallas_matches_jnp(clouds):
+    start = jnp.zeros((B,), jnp.int32)
+    want = _fps_jnp(clouds, S, start)
+    got = fps_pallas(clouds, S, start, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fps_pallas_nondivisible_batch():
+    rng = np.random.RandomState(8)
+    xyz = jnp.asarray(rng.uniform(size=(3, 128, 3)).astype(np.float32))
+    start = jnp.asarray([0, 5, 17], jnp.int32)
+    want = _fps_jnp(xyz, 32, start)
+    got = fps_pallas(xyz, 32, start, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ballquery_pallas_matches_jnp(clouds):
+    start = jnp.zeros((B,), jnp.int32)
+    new_xyz = index_points(clouds, _fps_jnp(clouds, S, start))
+    want = np.asarray(_ballquery_jnp(RADIUS, K, clouds, new_xyz))
+    got = np.asarray(
+        ballquery_pallas(RADIUS, K, clouds, new_xyz, interpret=True)
+    )
+    # Exclude rows with any point within fp tolerance of the radius boundary
+    # (expansion-form vs direct-form distances may legitimately disagree).
+    d2 = np.sum(
+        (np.asarray(new_xyz)[:, :, None, :] - np.asarray(clouds)[:, None])
+        ** 2,
+        -1,
+    )
+    ok = ~np.any(np.abs(d2 - RADIUS**2) < 1e-5, axis=-1)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(got[ok], want[ok])
+
+
+def test_ballquery_pallas_small_s(clouds):
+    """S smaller than the 128 tile exercises the tile-size fallback."""
+    new_xyz = clouds[:, :16]
+    want = np.asarray(_ballquery_jnp(RADIUS, K, clouds, new_xyz))
+    got = np.asarray(
+        ballquery_pallas(RADIUS, K, clouds, new_xyz, interpret=True)
+    )
+    d2 = np.sum(
+        (np.asarray(new_xyz)[:, :, None, :] - np.asarray(clouds)[:, None])
+        ** 2,
+        -1,
+    )
+    ok = ~np.any(np.abs(d2 - RADIUS**2) < 1e-5, axis=-1)
+    np.testing.assert_array_equal(got[ok], want[ok])
