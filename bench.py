@@ -1,0 +1,153 @@
+"""Benchmark harness — the two north-star numbers (BASELINE.json:2).
+
+Measures on the real chip:
+  1. clouds/sec/chip for PointNet++ SSG semantic-seg forward+backward+update
+     (B=16, N=4096 points, 9-dim features, 13 classes) — the primary metric.
+  2. FPS + ball-query Pallas-kernel microseconds per 4096-point cloud.
+
+Methodology: host-side wall clocks are unreliable on this box (the axon
+relay adds large, variable per-call latencies — observed 0.02 ms to 90 ms
+for identical work). So every measurement runs the workload K times INSIDE
+one compiled program (``lax.scan``/``fori_loop``) and reports the marginal
+time between a short and a long loop: fixed dispatch/transfer overhead
+cancels exactly, leaving pure device time.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline: ratio against V100_REF_CLOUDS_PER_SEC, an engineering estimate
+of the pure-PyTorch reference on a single V100 (BASELINE.json records no
+published numbers; reference mount empty — SURVEY.md §0/§6). The estimate is
+deliberately GENEROUS to the reference: its FPS alone is ~1360 sequential
+CUDA launches per cloud per forward (SURVEY.md §3.2), bounding it to ~100
+clouds/sec at B=16 before the MLPs even run. Target is >=10x
+[BASELINE.json:5].
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+V100_REF_CLOUDS_PER_SEC = 100.0  # documented estimate, see module docstring
+
+BATCH = 16
+NUM_POINT = 4096
+NUM_CLASSES = 13
+FEAT_DIM = 9
+SHORT, LONG = 2, 12
+
+
+def _marginal_time(make_looped, *args, reps=3):
+    """Device seconds per iteration: (t_long - t_short) / (LONG - SHORT)."""
+    f_short = jax.jit(make_looped(SHORT))
+    f_long = jax.jit(make_looped(LONG))
+
+    def run(f):
+        out = f(*args)
+        # force full materialization through the relay
+        return float(jnp.asarray(jax.tree.leaves(out)[0], jnp.float32).ravel()[0])
+
+    run(f_short), run(f_long)  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(f_short)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(f_long)
+        t_long = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (LONG - SHORT))
+    return best
+
+
+def bench_train_step():
+    from pointnet12_tpu.models import get_model
+    from pointnet12_tpu.train import create_train_state, make_optimizer
+    from pointnet12_tpu.train.loop import build_train_step
+
+    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    key = jax.random.PRNGKey(0)
+    points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT_DIM))
+    labels = jax.random.randint(key, (BATCH, NUM_POINT), 0, NUM_CLASSES)
+    batch = {"points": points, "label": labels}
+
+    tx = make_optimizer("adam", steps_per_epoch=100)
+    state0 = create_train_state(model, key, points[:1], tx)
+    raw_step = build_train_step(model, task="seg", num_classes=NUM_CLASSES)
+
+    def make_looped(k):
+        def run(state, batch):
+            def body(carry, _):
+                st, _m = raw_step(carry, batch, key)
+                return st, _m["loss"]
+
+            final, losses = lax.scan(body, state, None, length=k)
+            return losses[-1]
+
+        return run
+
+    sec = _marginal_time(make_looped, state0, batch)
+    return BATCH / sec, sec
+
+
+def bench_kernels():
+    from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
+    from pointnet12_tpu.kernels.fps_pallas import fps_pallas
+    from pointnet12_tpu.ops.gather import index_points
+
+    key = jax.random.PRNGKey(1)
+    xyz = jax.random.uniform(key, (BATCH, NUM_POINT, 3))
+    start = jnp.zeros((BATCH,), jnp.int32)
+    npoint, nsample, radius = 1024, 32, 0.1
+    new_xyz = jax.jit(index_points)(xyz, fps_pallas(xyz, npoint, start))
+
+    def fps_looped(k):
+        def run(xyz, new_xyz):
+            def body(i, acc):
+                idx = fps_pallas(xyz + acc * 0, npoint, start)
+                return acc + idx[0, 0].astype(jnp.float32)
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    def bq_looped(k):
+        def run(xyz, new_xyz):
+            def body(i, acc):
+                idx = ballquery_pallas(radius, nsample, xyz + acc * 0, new_xyz)
+                return acc + idx[0, 0, 0].astype(jnp.float32)
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    t_fps = _marginal_time(fps_looped, xyz, new_xyz)
+    t_bq = _marginal_time(bq_looped, xyz, new_xyz)
+    return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6
+
+
+def main():
+    clouds_per_sec, sec_per_step = bench_train_step()
+    fps_us, bq_us = bench_kernels()
+    result = {
+        "metric": "clouds/sec/chip PointNet++ SSG semseg fwd+bwd (B=16, N=4096)",
+        "value": round(clouds_per_sec, 2),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / V100_REF_CLOUDS_PER_SEC, 3),
+        "step_ms": round(sec_per_step * 1e3, 2),
+        "fps_us_per_cloud": round(fps_us, 1),
+        "ballquery_us_per_cloud": round(bq_us, 1),
+        "fps_ballquery_us_per_cloud": round(fps_us + bq_us, 1),
+        "device": str(jax.devices()[0]),
+        "batch": BATCH,
+        "num_point": NUM_POINT,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Shared CLI runner: dataset/model/state assembly + epoch loop.
+
+Mirrors the reference train scripts' skeleton (SURVEY.md §3.1/§3.3): build
+dataset + model + Adam/StepLR, loop epochs of jitted train steps, evaluate
+per epoch (accuracy for cls, per-class IoU/mIoU for seg), checkpoint best,
+log to file + stdout (+ JSONL metrics stream).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pointnet12_tpu.data import (
+    Feeder,
+    augment,
+    get_classification_dataset,
+    get_segmentation_dataset,
+)
+from pointnet12_tpu.models import get_model
+from pointnet12_tpu.parallel import mesh as mesh_lib
+from pointnet12_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from pointnet12_tpu.train.metrics import iou_from_confusion
+from pointnet12_tpu.utils.logging import (
+    MetricWriter,
+    get_logger,
+    make_experiment_dir,
+)
+
+
+def _resolve_model_name(name: str, task: str) -> str:
+    if task == "cls":
+        return {"pointnet": "pointnet_cls", "pointnet2": "pointnet2_cls_ssg"}.get(
+            name, name
+        )
+    return {"pointnet": "pointnet_seg", "pointnet2": "pointnet2_semseg"}.get(
+        name, name
+    )
+
+
+def run_training(args, task: str):
+    """task: 'cls' or 'seg'."""
+    exp_dir = make_experiment_dir(args.log_dir, f"{task}-{args.model_name}")
+    logger = get_logger("train", f"{exp_dir}/logs")
+    metrics_writer = MetricWriter(f"{exp_dir}/logs")
+    logger.info("experiment dir: %s", exp_dir)
+    logger.info("args: %s", vars(args))
+    logger.info("devices: %s", jax.devices())
+
+    num_classes = args.num_classes
+    # synthetic generators are parameterized by class count; file-backed
+    # datasets carry their own labels
+    ds_kw = {"num_classes": num_classes} if args.dataset == "synthetic" else {}
+    if task == "cls":
+        train_ds = get_classification_dataset(
+            args.dataset, "train", args.num_point, args.data_root, **ds_kw
+        )
+        test_ds = get_classification_dataset(
+            args.dataset, "test", args.num_point, args.data_root, **ds_kw
+        )
+        aug_fn = augment.classification_augment if args.augment else None
+    else:
+        train_ds = get_segmentation_dataset(
+            args.dataset, "train", args.num_point, args.data_root, **ds_kw
+        )
+        test_ds = get_segmentation_dataset(
+            args.dataset, "test", args.num_point, args.data_root, **ds_kw
+        )
+        aug_fn = augment.segmentation_augment if args.augment else None
+
+    # Loud config check: out-of-range labels make XLA's gather produce NaN
+    # losses on TPU (silently — observed on v5e), so fail fast on the host.
+    first_label = np.asarray(train_ds[0][1])
+    if int(first_label.max()) >= num_classes:
+        raise ValueError(
+            f"dataset labels reach {int(first_label.max())} but the model "
+            f"has num_classes={num_classes}; pass --num_classes to match"
+        )
+
+    train_feeder = Feeder(
+        train_ds, args.batchsize, shuffle=True, augment_fn=aug_fn
+    )
+    test_feeder = Feeder(test_ds, args.batchsize, shuffle=False)
+    steps_per_epoch = max(len(train_feeder), 1)
+
+    model_name = _resolve_model_name(args.model_name, task)
+    model_kwargs = {"num_classes": num_classes}
+    if model_name in ("pointnet_cls", "pointnet_seg"):
+        model_kwargs["feature_transform"] = args.feature_transform
+    model = get_model(model_name, **model_kwargs)
+
+    tx = make_optimizer(
+        args.optimizer,
+        learning_rate=args.learning_rate,
+        weight_decay=args.decay_rate,
+        steps_per_epoch=steps_per_epoch,
+        lr_step_epochs=args.lr_step,
+        lr_gamma=args.lr_gamma,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.asarray(train_ds[0][0])[None]
+    state = create_train_state(model, rng, sample, tx)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info("model %s: %.2fM params", model_name, n_params / 1e6)
+
+    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
+    train_step = make_train_step(model, task=task, num_classes=num_classes, mesh=mesh)
+    eval_step = make_eval_step(model, task=task, num_classes=num_classes, mesh=mesh)
+
+    ckpt = CheckpointManager(f"{exp_dir}/checkpoints", best_fn_metric="score")
+    if args.pretrain:
+        pre = CheckpointManager(args.pretrain)
+        state, at = pre.restore(state)
+        logger.info("restored pretrain checkpoint from step %s", at)
+
+    best_score = -1.0
+    for epoch in range(args.epoch):
+        losses, accs = [], []
+        for batch in train_feeder:
+            batch = {
+                "points": jnp.asarray(batch["points"]),
+                "label": jnp.asarray(batch["label"]),
+            }
+            if mesh is not None:
+                batch = mesh_lib.shard_batch(batch, mesh)
+            state, m = train_step(state, batch, rng)
+            losses.append(m["loss"])
+            accs.append(m["accuracy"])
+        train_loss = float(jnp.mean(jnp.stack(losses)))
+        train_acc = float(jnp.mean(jnp.stack(accs)))
+
+        eval_metrics = evaluate(
+            state, eval_step, test_feeder, num_classes, task, mesh
+        )
+        score = eval_metrics["accuracy" if task == "cls" else "miou"]
+        record = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "train_acc": train_acc,
+            **eval_metrics,
+        }
+        metrics_writer.write(record)
+        if task == "cls":
+            logger.info(
+                "epoch %d loss %.4f train-acc %.4f eval-acc %.4f",
+                epoch, train_loss, train_acc, eval_metrics["accuracy"],
+            )
+        else:
+            logger.info(
+                "epoch %d loss %.4f train-acc %.4f eval-acc %.4f mIoU %.4f",
+                epoch, train_loss, train_acc,
+                eval_metrics["accuracy"], eval_metrics["miou"],
+            )
+        if score > best_score:
+            best_score = score
+        ckpt.save(epoch, state, metrics={"score": float(score)})
+    ckpt.wait()
+    logger.info("best score: %.4f", best_score)
+    metrics_writer.close()
+    return best_score, exp_dir
+
+
+def evaluate(state, eval_step, feeder, num_classes, task, mesh=None):
+    """Full-set eval: accuracy (+ per-class IoU / mIoU for seg)."""
+    total_loss, total_acc, n = 0.0, 0.0, 0
+    cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+    for batch in feeder:
+        batch = {
+            "points": jnp.asarray(batch["points"]),
+            "label": jnp.asarray(batch["label"]),
+        }
+        if mesh is not None:
+            batch = mesh_lib.shard_batch(batch, mesh)
+        m = eval_step(state, batch)
+        total_loss += float(m["loss"])
+        total_acc += float(m["accuracy"])
+        cm = cm + m["confusion"]
+        n += 1
+    n = max(n, 1)
+    out = {"eval_loss": total_loss / n, "accuracy": total_acc / n}
+    if task == "seg":
+        iou, miou, overall = iou_from_confusion(cm)
+        out["miou"] = float(miou)
+        out["overall_acc"] = float(overall)
+        out["iou_per_class"] = [float(x) for x in np.asarray(iou)]
+    return out
+
+
+def add_common_args(parser, task: str):
+    parser.add_argument("--batchsize", type=int, default=24 if task == "cls" else 12)
+    parser.add_argument("--epoch", type=int, default=200 if task == "cls" else 100)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--decay_rate", type=float, default=1e-4,
+                        help="weight decay (reference flag name)")
+    parser.add_argument("--lr_step", type=int, default=20,
+                        help="StepLR epoch interval")
+    parser.add_argument("--lr_gamma", type=float, default=0.7)
+    parser.add_argument("--optimizer", type=str, default="adam",
+                        choices=["adam", "sgd"])
+    parser.add_argument("--gpu", type=str, default="0",
+                        help="accepted for reference compat; ignored on TPU")
+    parser.add_argument("--pretrain", type=str, default=None,
+                        help="checkpoint dir to resume from")
+    parser.add_argument("--log_dir", type=str, default="experiment")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--augment", action="store_true", default=True)
+    parser.add_argument("--no-augment", dest="augment", action="store_false")
+    parser.add_argument("--data_root", type=str, default="")
+    return parser

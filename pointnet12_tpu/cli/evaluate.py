@@ -1,0 +1,81 @@
+"""Standalone checkpoint evaluation CLI (reference: test/eval scripts,
+SURVEY.md §3.5) — headless metrics dump (accuracy / IoU table), no GUI.
+
+Example:
+  python -m pointnet12_tpu.cli.evaluate --task seg --model_name pointnet2 \
+      --dataset synthetic --checkpoint experiment/seg-.../checkpoints
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from pointnet12_tpu.cli.common import _resolve_model_name, evaluate
+from pointnet12_tpu.data import (
+    Feeder,
+    get_classification_dataset,
+    get_segmentation_dataset,
+)
+from pointnet12_tpu.models import get_model
+from pointnet12_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("evaluate")
+    p.add_argument("--task", type=str, required=True, choices=["cls", "seg"])
+    p.add_argument("--model_name", type=str, default="pointnet2")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--num_point", type=int, default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--batchsize", type=int, default=16)
+    p.add_argument("--feature_transform", action="store_true")
+    p.add_argument("--split", type=str, default="test")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    task = args.task
+    num_point = args.num_point or (1024 if task == "cls" else 4096)
+    num_classes = args.num_classes or (40 if task == "cls" else 13)
+
+    if task == "cls":
+        ds = get_classification_dataset(
+            args.dataset, args.split, num_point, args.data_root
+        )
+    else:
+        ds = get_segmentation_dataset(
+            args.dataset, args.split, num_point, args.data_root
+        )
+    feeder = Feeder(ds, args.batchsize, shuffle=False)
+
+    model_name = _resolve_model_name(args.model_name, task)
+    kwargs = {"num_classes": num_classes}
+    if model_name in ("pointnet_cls", "pointnet_seg"):
+        kwargs["feature_transform"] = args.feature_transform
+    model = get_model(model_name, **kwargs)
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.asarray(ds[0][0])[None]
+    state = create_train_state(model, rng, sample, make_optimizer())
+    ckpt = CheckpointManager(args.checkpoint)
+    state, step = ckpt.restore(state)
+    print(f"restored checkpoint at step {step}")
+
+    eval_step = make_eval_step(model, task=task, num_classes=num_classes)
+    out = evaluate(state, eval_step, feeder, num_classes, task)
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()

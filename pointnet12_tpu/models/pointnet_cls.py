@@ -23,9 +23,14 @@ class PointNetCls(nn.Module):
 
     @nn.compact
     def __call__(
-        self, points: jnp.ndarray, train: bool = False
+        self, points: jnp.ndarray, train: bool = False, fps_key=None
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        """points: (B, N, C>=3) channels-last -> ((B, num_classes) log-probs, trans_feat)."""
+        """points: (B, N, C>=3) channels-last -> ((B, num_classes) log-probs, trans_feat).
+
+        ``fps_key`` is accepted for train-loop signature uniformity with the
+        PointNet++ models and ignored (PointNet has no sampling stage).
+        """
+        del fps_key
         x, _, trans_feat = PointNetEncoder(
             global_feat=True,
             feature_transform=self.feature_transform,

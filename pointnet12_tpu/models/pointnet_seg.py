@@ -22,8 +22,9 @@ class PointNetSeg(nn.Module):
 
     @nn.compact
     def __call__(
-        self, points: jnp.ndarray, train: bool = False
+        self, points: jnp.ndarray, train: bool = False, fps_key=None
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        del fps_key  # signature uniformity; PointNet has no sampling stage
         x, _, trans_feat = PointNetEncoder(
             global_feat=False,
             feature_transform=self.feature_transform,

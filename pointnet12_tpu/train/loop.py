@@ -1,0 +1,164 @@
+"""Jitted train/eval steps (L4).
+
+Reference behavior (SURVEY.md §3.1): per-batch host loop around
+forward/NLL/backward/Adam with per-epoch eval. TPU-native design: the whole
+cloud->logits->loss->grads->update path is ONE jitted XLA program per step —
+the only host<->device traffic is the input batch (H2D) and scalar metrics
+(D2H), mirroring the reference's three boundaries but with zero intra-step
+roundtrips [BASELINE.json:5].
+
+With a ``Mesh``, the same step function shards the batch over the ``data``
+axis and replicates parameters; XLA inserts the gradient all-reduce over ICI.
+Donation of the incoming state buffers keeps the update in-place in HBM.
+"""
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from pointnet12_tpu.parallel import mesh as mesh_lib
+from pointnet12_tpu.train import losses as losses_lib
+from pointnet12_tpu.train import metrics as metrics_lib
+
+
+class TrainState(struct.PyTreeNode):
+    """Model params + BN stats + optimizer state, one pytree."""
+
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(
+    model, rng, sample_points: jnp.ndarray, tx
+) -> TrainState:
+    variables = model.init({"params": rng}, sample_points, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def build_train_step(
+    model,
+    task: str = "cls",
+    num_classes: int = 40,
+    class_weight: Optional[jnp.ndarray] = None,
+):
+    """The raw (unjitted) train step — for composition (bench scan loops,
+    custom jit wrappers). Most callers want :func:`make_train_step`.
+
+    batch: ``{"points": (B, N, C), "label": (B,) | (B, N)}``.
+    Returns ``(new_state, metrics_dict)``.
+    """
+    loss_fn_task = (
+        losses_lib.classification_loss
+        if task == "cls"
+        else functools.partial(
+            losses_lib.segmentation_loss, class_weight=class_weight
+        )
+    )
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng, fps_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            (log_probs, trans_feat), mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"],
+                train=True,
+                fps_key=fps_rng,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = loss_fn_task(log_probs, batch["label"], trans_feat)
+            return loss, (log_probs, mutated["batch_stats"])
+
+        (loss, (log_probs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {
+            "loss": loss,
+            "accuracy": metrics_lib.accuracy(log_probs, batch["label"]),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_step(
+    model,
+    task: str = "cls",
+    num_classes: int = 40,
+    class_weight: Optional[jnp.ndarray] = None,
+    mesh=None,
+):
+    """Jitted (and optionally mesh-sharded) train step."""
+    train_step = build_train_step(
+        model, task=task, num_classes=num_classes, class_weight=class_weight
+    )
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(repl, {"points": data, "label": data}, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(model, task: str = "cls", num_classes: int = 40, mesh=None):
+    """Jitted eval step: loss, correct-count, and a confusion matrix."""
+
+    def eval_step(state: TrainState, batch):
+        log_probs, trans_feat = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["points"],
+            train=False,
+        )
+        loss = losses_lib.nll_loss(log_probs, batch["label"])
+        pred = jnp.argmax(log_probs, axis=-1)
+        cm = metrics_lib.confusion_matrix(pred, batch["label"], num_classes)
+        return {
+            "loss": loss,
+            "accuracy": metrics_lib.accuracy(log_probs, batch["label"]),
+            "confusion": cm,
+        }
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(repl, {"points": data, "label": data}),
+        out_shardings=repl,
+    )

@@ -1,0 +1,73 @@
+"""Losses: NLL on log-probs + the T-Net orthogonality regularizer.
+
+Reference behavior (SURVEY.md §2, §3.1): ``F.nll_loss`` on log_softmax
+outputs (classification: per-cloud; segmentation: per-point), plus
+``feature_transform_regularizer`` — mean Frobenius norm of ``I - A @ A^T``
+over the batch — weighted 0.001 into the total when the 64-d feature
+transform is enabled.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+TRANSFORM_REG_WEIGHT = 1e-3
+
+
+def nll_loss(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    weight: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Negative log-likelihood over trailing class axis.
+
+    Args:
+      log_probs: ``(..., C)`` log-probabilities.
+      labels: ``(...)`` int labels.
+      weight: optional ``(C,)`` per-class weights (torch nll_loss semantics:
+        weighted mean, normalized by the sum of selected weights).
+      mask: optional ``(...)`` validity mask (padded points excluded).
+
+    Returns: scalar loss.
+    """
+    picked = jnp.take_along_axis(
+        log_probs, labels[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    w = jnp.ones_like(picked) if weight is None else weight[labels]
+    if mask is not None:
+        w = w * mask.astype(picked.dtype)
+    return -jnp.sum(picked * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def feature_transform_regularizer(trans: jnp.ndarray) -> jnp.ndarray:
+    """Mean Frobenius norm of ``I - A @ A^T`` over the batch.
+
+    trans: ``(B, k, k)`` predicted feature transforms.
+    """
+    k = trans.shape[-1]
+    eye = jnp.eye(k, dtype=trans.dtype)
+    delta = eye - jnp.einsum("bij,bkj->bik", trans, trans)
+    return jnp.mean(jnp.sqrt(jnp.sum(delta**2, axis=(1, 2)) + 1e-12))
+
+
+def classification_loss(log_probs, labels, trans_feat=None):
+    """NLL + 0.001 * T-Net regularizer (when trans_feat is provided)."""
+    loss = nll_loss(log_probs, labels)
+    if trans_feat is not None:
+        loss = loss + TRANSFORM_REG_WEIGHT * feature_transform_regularizer(
+            trans_feat
+        )
+    return loss
+
+
+def segmentation_loss(
+    log_probs, labels, trans_feat=None, class_weight=None, mask=None
+):
+    """Per-point NLL (+ optional T-Net regularizer, class weights, mask)."""
+    loss = nll_loss(log_probs, labels, weight=class_weight, mask=mask)
+    if trans_feat is not None:
+        loss = loss + TRANSFORM_REG_WEIGHT * feature_transform_regularizer(
+            trans_feat
+        )
+    return loss

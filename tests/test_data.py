@@ -1,0 +1,185 @@
+"""Data-layer tests: synthetic determinism, feeder contract, augmentation
+invariants, and format-level loader tests against tiny self-generated files
+(SURVEY.md §4.2 — no real datasets on this box)."""
+
+import numpy as np
+
+from pointnet12_tpu.data import (
+    Feeder,
+    SyntheticModelNet,
+    SyntheticScene,
+    augment,
+)
+
+
+# --------------------------------------------------------------- synthetic
+
+
+def test_synthetic_modelnet_deterministic_and_normalized():
+    ds = SyntheticModelNet("train", num_point=256, num_classes=8, size=32)
+    p1, l1 = ds[3]
+    p2, l2 = ds[3]
+    np.testing.assert_array_equal(p1, p2)
+    assert l1 == l2 == 3
+    assert p1.shape == (256, 3)
+    assert np.max(np.linalg.norm(p1, axis=1)) <= 1.0 + 1e-5
+
+
+def test_synthetic_train_test_disjoint():
+    tr = SyntheticModelNet("train", num_point=64, num_classes=4, size=8)
+    te = SyntheticModelNet("test", num_point=64, num_classes=4, size=8)
+    assert not np.allclose(tr[0][0], te[0][0])
+
+
+def test_synthetic_scene_contract():
+    ds = SyntheticScene("train", num_point=512, num_classes=13, size=4)
+    pts, lbl = ds[0]
+    assert pts.shape == (512, 9) and lbl.shape == (512,)
+    assert lbl.min() >= 0 and lbl.max() < 13
+    # normalized-xyz channels in [0, 1]
+    assert pts[:, 6:].min() >= 0 and pts[:, 6:].max() <= 1 + 1e-6
+    # both structural classes present
+    assert 0 in lbl and 1 in lbl
+
+
+# ------------------------------------------------------------------ feeder
+
+
+def test_feeder_fixed_shapes_and_drop_last():
+    ds = SyntheticModelNet("train", num_point=64, num_classes=4, size=22)
+    feeder = Feeder(ds, batch_size=8, shuffle=True, prefetch=False)
+    batches = list(feeder)
+    assert len(batches) == 2  # 22 // 8, last partial dropped
+    for b in batches:
+        assert b["points"].shape == (8, 64, 3)
+        assert b["label"].shape == (8,)
+
+
+def test_feeder_prefetch_equals_sync():
+    ds = SyntheticModelNet("train", num_point=32, num_classes=4, size=16)
+    a = list(Feeder(ds, 4, shuffle=True, seed=5, prefetch=False))
+    b = list(Feeder(ds, 4, shuffle=True, seed=5, prefetch=True))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["points"], y["points"])
+        np.testing.assert_array_equal(x["label"], y["label"])
+
+
+def test_feeder_shuffles_across_epochs():
+    ds = SyntheticModelNet("train", num_point=16, num_classes=4, size=32)
+    f = Feeder(ds, 8, shuffle=True, prefetch=False)
+    e1 = [b["label"] for b in f]
+    e2 = [b["label"] for b in f]
+    assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
+
+
+# ----------------------------------------------------------- augmentations
+
+
+def test_rotation_preserves_norms():
+    rng = np.random.RandomState(0)
+    batch = rng.randn(4, 128, 3).astype(np.float32)
+    rot = augment.rotate_point_cloud(batch, rng=rng)
+    np.testing.assert_allclose(
+        np.linalg.norm(batch, axis=-1),
+        np.linalg.norm(rot, axis=-1),
+        atol=1e-4,
+    )
+    rotz = augment.rotate_point_cloud_z(batch, rng=rng)
+    np.testing.assert_array_almost_equal(rotz[..., 2], batch[..., 2])
+
+
+def test_jitter_bounded():
+    batch = np.zeros((2, 64, 3), np.float32)
+    out = augment.jitter_point_cloud(batch, sigma=0.01, clip=0.05)
+    assert np.abs(out).max() <= 0.05 + 1e-7
+    assert np.abs(out).max() > 0
+
+
+def test_dropout_replaces_with_first_point():
+    rng = np.random.RandomState(3)
+    batch = rng.randn(2, 128, 3).astype(np.float32)
+    out = augment.random_point_dropout(batch, rng=rng)
+    changed = ~np.all(out == batch, axis=-1)
+    first = batch[:, 0:1, :]
+    for b in range(2):
+        if changed[b].any():
+            np.testing.assert_array_equal(
+                out[b][changed[b]],
+                np.broadcast_to(first[b], (changed[b].sum(), 3)),
+            )
+
+
+def test_augment_only_touches_xyz():
+    rng = np.random.RandomState(4)
+    batch = rng.randn(2, 64, 9).astype(np.float32)
+    out = augment.segmentation_augment(batch, rng=rng)
+    np.testing.assert_array_equal(out[..., 3:], batch[..., 3:])
+
+
+# ------------------------------------------------- format-level h5 loaders
+
+
+def test_modelnet40_h5_format(tmp_path):
+    import h5py
+
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 12), ("test", 6)]:
+        with h5py.File(tmp_path / f"ply_data_{split}0.h5", "w") as f:
+            f["data"] = rng.randn(n, 128, 3).astype(np.float32)
+            f["label"] = rng.randint(0, 40, (n, 1)).astype(np.uint8)
+    from pointnet12_tpu.data.modelnet40 import ModelNet40H5
+
+    ds = ModelNet40H5(str(tmp_path), "train", num_point=64)
+    assert len(ds) == 12
+    pts, lbl = ds[0]
+    assert pts.shape == (64, 3) and 0 <= int(lbl) < 40
+    assert np.max(np.linalg.norm(pts, axis=1)) <= 1.0 + 1e-5  # normalized
+
+
+def test_s3dis_h5_format(tmp_path):
+    import h5py
+
+    rng = np.random.RandomState(0)
+    with h5py.File(tmp_path / "ply_data_all_0.h5", "w") as f:
+        f["data"] = rng.rand(10, 256, 9).astype(np.float32)
+        f["label"] = rng.randint(0, 13, (10, 256)).astype(np.uint8)
+    rooms = [("Area_5_office" if i % 2 else "Area_1_office") for i in range(10)]
+    (tmp_path / "room_filelist.txt").write_text("\n".join(rooms))
+    from pointnet12_tpu.data.s3dis import S3DISH5
+
+    tr = S3DISH5(str(tmp_path), "train", test_area=5, num_point=256)
+    te = S3DISH5(str(tmp_path), "test", test_area=5, num_point=256)
+    assert len(tr) == 5 and len(te) == 5
+    pts, lbl = tr[0]
+    assert pts.shape == (256, 9) and lbl.shape == (256,)
+
+
+def test_kitti_raw_and_prep_roundtrip(tmp_path):
+    from pointnet12_tpu.data import semantic_kitti as sk
+
+    rng = np.random.RandomState(0)
+    seq = tmp_path / "sequences" / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir(parents=True)
+    raw_ids = np.asarray(list(sk.LEARNING_MAP))
+    for i in range(3):
+        scan = rng.randn(500 + 100 * i, 4).astype(np.float32)
+        scan.tofile(seq / "velodyne" / f"{i:06d}.bin")
+        lbl = rng.choice(raw_ids, len(scan)).astype(np.uint32)
+        lbl |= np.uint32(1 << 16)  # instance bits must be masked off
+        lbl.tofile(seq / "labels" / f"{i:06d}.label")
+
+    ds = sk.SemanticKITTIScans(str(tmp_path), "train", num_point=256)
+    assert len(ds) == 3
+    pts, lbl = ds[0]
+    assert pts.shape == (256, 4) and lbl.shape == (256,)
+    assert lbl.min() >= 0 and lbl.max() < sk.NUM_CLASSES
+
+    out = tmp_path / "h5"
+    written = sk.prepare_h5(str(tmp_path), str(out), "train", num_point=256)
+    assert len(written) == 1
+    ds2 = sk.SemanticKITTIH5(str(out), "train", num_point=256)
+    assert len(ds2) == 3
+    p2, l2 = ds2[0]
+    np.testing.assert_array_equal(p2, pts)
+    np.testing.assert_array_equal(l2, lbl)

@@ -1,0 +1,76 @@
+"""Forward-pass contract tests for the five model configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointnet12_tpu.models import MODEL_REGISTRY, get_model
+
+KEY = jax.random.PRNGKey(0)
+
+CASES = [
+    # name, (B, N, C), num_classes, out_rank
+    ("pointnet_cls", (2, 256, 3), 10, 2),
+    ("pointnet_seg", (2, 256, 3), 5, 3),
+    ("pointnet2_cls_ssg", (2, 512, 3), 10, 2),
+    ("pointnet2_cls_msg", (2, 512, 3), 10, 2),
+    ("pointnet2_semseg", (2, 1024, 9), 5, 3),
+]
+
+
+@pytest.mark.parametrize("name,shape,nc,rank", CASES)
+def test_forward_shapes_and_logprobs(name, shape, nc, rank):
+    model = get_model(name, num_classes=nc)
+    pts = jax.random.uniform(KEY, shape)
+    variables = model.init({"params": KEY}, pts, train=False)
+    logp, _ = model.apply(variables, pts, train=False)
+    expected = (shape[0], nc) if rank == 2 else (shape[0], shape[1], nc)
+    assert logp.shape == expected
+    # log_softmax output: probabilities sum to 1
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(logp).sum(-1)), 1.0, atol=1e-4
+    )
+
+
+def test_registry_aliases():
+    assert type(get_model("pointnet")).__name__ == "PointNetCls"
+    assert type(get_model("pointnet2")).__name__ == "PointNet2ClsSSG"
+    assert set(MODEL_REGISTRY) == {
+        "pointnet_cls",
+        "pointnet_seg",
+        "pointnet2_cls_ssg",
+        "pointnet2_cls_msg",
+        "pointnet2_semseg",
+    }
+
+
+def test_feature_transform_returns_trans_feat():
+    model = get_model("pointnet_cls", num_classes=5, feature_transform=True)
+    pts = jax.random.uniform(KEY, (2, 128, 3))
+    variables = model.init({"params": KEY}, pts, train=False)
+    _, trans_feat = model.apply(variables, pts, train=False)
+    assert trans_feat.shape == (2, 64, 64)
+    # zero-init final layer => exact identity at init
+    np.testing.assert_allclose(
+        np.asarray(trans_feat), np.broadcast_to(np.eye(64), (2, 64, 64)),
+        atol=1e-6,
+    )
+
+
+def test_eval_deterministic():
+    model = get_model("pointnet2_cls_ssg", num_classes=5)
+    pts = jax.random.uniform(KEY, (2, 512, 3))
+    variables = model.init({"params": KEY}, pts, train=False)
+    a, _ = model.apply(variables, pts, train=False)
+    b, _ = model.apply(variables, pts, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_extra_channels_cls():
+    """Cls models accept normals (C=6) like the reference."""
+    model = get_model("pointnet_cls", num_classes=5)
+    pts = jax.random.uniform(KEY, (2, 128, 6))
+    variables = model.init({"params": KEY}, pts, train=False)
+    logp, _ = model.apply(variables, pts, train=False)
+    assert logp.shape == (2, 5)
