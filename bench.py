@@ -41,10 +41,10 @@ FEAT_DIM = 9
 SHORT, LONG = 2, 12
 
 
-def _marginal_time(make_looped, *args, reps=3):
-    """Device seconds per iteration: (t_long - t_short) / (LONG - SHORT)."""
-    f_short = jax.jit(make_looped(SHORT))
-    f_long = jax.jit(make_looped(LONG))
+def _marginal_time(make_looped, *args, reps=3, short=SHORT, long=LONG):
+    """Device seconds per iteration: (t_long - t_short) / (long - short)."""
+    f_short = jax.jit(make_looped(short))
+    f_long = jax.jit(make_looped(long))
 
     def run(f):
         out = f(*args)
@@ -60,7 +60,7 @@ def _marginal_time(make_looped, *args, reps=3):
         t0 = time.perf_counter()
         run(f_long)
         t_long = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (LONG - SHORT))
+        best = min(best, (t_long - t_short) / (long - short))
     return best
 
 
@@ -125,8 +125,10 @@ def bench_kernels():
 
         return run
 
-    t_fps = _marginal_time(fps_looped, xyz, new_xyz)
-    t_bq = _marginal_time(bq_looped, xyz, new_xyz)
+    # the FPS kernel is ~1 ms/call; stretch the loops so relay jitter
+    # (several ms) cannot swamp the marginal difference
+    t_fps = _marginal_time(fps_looped, xyz, new_xyz, short=2, long=42)
+    t_bq = _marginal_time(bq_looped, xyz, new_xyz, short=2, long=22)
     return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6
 
 

@@ -46,6 +46,10 @@ def _resolve_model_name(name: str, task: str) -> str:
 
 def run_training(args, task: str):
     """task: 'cls' or 'seg'."""
+    if getattr(args, "debug_nans", False):
+        from pointnet12_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
     exp_dir = make_experiment_dir(args.log_dir, f"{task}-{args.model_name}")
     logger = get_logger("train", f"{exp_dir}/logs")
     metrics_writer = MetricWriter(f"{exp_dir}/logs")
@@ -120,8 +124,12 @@ def run_training(args, task: str):
         state, at = pre.restore(state)
         logger.info("restored pretrain checkpoint from step %s", at)
 
+    profile_dir = getattr(args, "profile_dir", None)
     best_score = -1.0
     for epoch in range(args.epoch):
+        profiling = profile_dir is not None and epoch == 1
+        if profiling:  # epoch 0 carries compile noise; trace epoch 1
+            jax.profiler.start_trace(profile_dir)
         losses, accs = [], []
         for batch in train_feeder:
             batch = {
@@ -135,6 +143,9 @@ def run_training(args, task: str):
             accs.append(m["accuracy"])
         train_loss = float(jnp.mean(jnp.stack(losses)))
         train_acc = float(jnp.mean(jnp.stack(accs)))
+        if profiling:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", profile_dir)
 
         eval_metrics = evaluate(
             state, eval_step, test_feeder, num_classes, task, mesh
@@ -213,4 +224,8 @@ def add_common_args(parser, task: str):
     parser.add_argument("--augment", action="store_true", default=True)
     parser.add_argument("--no-augment", dest="augment", action="store_false")
     parser.add_argument("--data_root", type=str, default="")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="fail at the first NaN-producing op")
     return parser

@@ -23,18 +23,30 @@ _EPS = 1e-8
 
 
 def three_nn(
-    query_xyz: jnp.ndarray, ref_xyz: jnp.ndarray
+    query_xyz: jnp.ndarray,
+    ref_xyz: jnp.ndarray,
+    *,
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Three nearest reference points per query point.
 
     Args:
       query_xyz: ``(B, N, 3)`` fine points.
       ref_xyz: ``(B, M, 3)`` coarse points, M >= 3.
+      impl: ``"jnp"``, ``"pallas"`` or ``"auto"``.
 
     Returns:
       ``(dists, idx)``: ``(B, N, 3)`` squared distances (ascending) and
       int32 indices into M.
     """
+    if impl == "auto":
+        from pointnet12_tpu.kernels import dispatch
+
+        impl = "pallas" if dispatch.pallas_enabled() else "jnp"
+    if impl == "pallas":
+        from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
+
+        return three_nn_pallas(query_xyz, ref_xyz)
     sqrdists = square_distance(query_xyz, ref_xyz)  # (B, N, M)
     neg, idx = lax.top_k(-sqrdists, 3)
     return -neg, idx.astype(jnp.int32)

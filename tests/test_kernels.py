@@ -59,6 +59,31 @@ def test_ballquery_pallas_matches_jnp(clouds):
     np.testing.assert_array_equal(got[ok], want[ok])
 
 
+def test_three_nn_pallas_matches_jnp(clouds):
+    from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
+    from pointnet12_tpu.ops.interpolate import three_nn
+
+    ref = clouds[:, :64]
+    d_want, i_want = three_nn(clouds, ref, impl="jnp")
+    d_got, i_got = three_nn_pallas(clouds, ref, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_want))
+    np.testing.assert_allclose(
+        np.asarray(d_got), np.asarray(d_want), atol=1e-5
+    )
+
+
+def test_three_nn_pallas_duplicate_points():
+    """Stable tie-breaking: duplicated reference points -> lowest index."""
+    from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
+
+    ref = jnp.zeros((1, 16, 3)).at[0, 8:].set(1.0)  # 8 dup zeros, 8 dup ones
+    q = jnp.zeros((1, 8, 3))
+    _, idx = three_nn_pallas(q, ref, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(idx), np.broadcast_to([0, 1, 2], (1, 8, 3))
+    )
+
+
 def test_ballquery_pallas_small_s(clouds):
     """S smaller than the 128 tile exercises the tile-size fallback."""
     new_xyz = clouds[:, :16]
