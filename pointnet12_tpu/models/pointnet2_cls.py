@@ -16,7 +16,7 @@ MSG:  SA_MSG(512, r=[0.1,0.2,0.4], K=[16,32,128],
 None gives a deterministic start for eval/parity.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,6 +53,7 @@ class _ClsHead(nn.Module):
 class PointNet2ClsSSG(nn.Module):
     num_classes: int = 40
     impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -65,21 +66,24 @@ class PointNet2ClsSSG(nn.Module):
         if feats.shape[-1] == 0:
             feats = None
         xyz, feats = SetAbstraction(
-            512, 0.2, 32, [64, 64, 128], impl=self.impl, name="sa1"
+            512, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype, name="sa1"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstraction(
-            128, 0.4, 64, [128, 128, 256], impl=self.impl, name="sa2"
+            128, 0.4, 64, [128, 128, 256], impl=self.impl, dtype=self.dtype, name="sa2"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
-            mlp=[256, 512, 1024], group_all=True, name="sa3"
+            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
         )(xyz, feats, train=train)
-        logp = _ClsHead(self.num_classes, name="head")(feats[:, 0], train=train)
+        logp = _ClsHead(self.num_classes, name="head")(
+            feats[:, 0].astype(jnp.float32), train=train
+        )
         return logp, None
 
 
 class PointNet2ClsMSG(nn.Module):
     num_classes: int = 40
     impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -97,6 +101,7 @@ class PointNet2ClsMSG(nn.Module):
             [16, 32, 128],
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
             impl=self.impl,
+            dtype=self.dtype,
             name="sa1",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstractionMSG(
@@ -105,10 +110,13 @@ class PointNet2ClsMSG(nn.Module):
             [32, 64, 128],
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
             impl=self.impl,
+            dtype=self.dtype,
             name="sa2",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
-            mlp=[256, 512, 1024], group_all=True, name="sa3"
+            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
         )(xyz, feats, train=train)
-        logp = _ClsHead(self.num_classes, name="head")(feats[:, 0], train=train)
+        logp = _ClsHead(self.num_classes, name="head")(
+            feats[:, 0].astype(jnp.float32), train=train
+        )
         return logp, None

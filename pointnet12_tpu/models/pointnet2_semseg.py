@@ -9,7 +9,7 @@ classes, per-point log_softmax. Input features are the full channel vector
 (e.g. 9-dim for S3DIS: xyz, rgb, normalized-xyz), coordinates its first 3.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -28,6 +28,7 @@ class PointNet2SemSeg(nn.Module):
     num_classes: int = 13
     dropout_rate: float = 0.5
     impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -41,39 +42,42 @@ class PointNet2SemSeg(nn.Module):
         l0_feats = points  # reference feeds the full channel vector
 
         l1_xyz, l1 = SetAbstraction(
-            1024, 0.1, 32, [32, 32, 64], impl=self.impl, name="sa1"
+            1024, 0.1, 32, [32, 32, 64], impl=self.impl, dtype=self.dtype, name="sa1"
         )(l0_xyz, l0_feats, train=train, fps_key=_subkey(fps_key, 1))
         l2_xyz, l2 = SetAbstraction(
-            256, 0.2, 32, [64, 64, 128], impl=self.impl, name="sa2"
+            256, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype, name="sa2"
         )(l1_xyz, l1, train=train, fps_key=_subkey(fps_key, 2))
         l3_xyz, l3 = SetAbstraction(
-            64, 0.4, 32, [128, 128, 256], impl=self.impl, name="sa3"
+            64, 0.4, 32, [128, 128, 256], impl=self.impl, dtype=self.dtype, name="sa3"
         )(l2_xyz, l2, train=train, fps_key=_subkey(fps_key, 3))
         l4_xyz, l4 = SetAbstraction(
-            16, 0.8, 32, [256, 256, 512], impl=self.impl, name="sa4"
+            16, 0.8, 32, [256, 256, 512], impl=self.impl, dtype=self.dtype, name="sa4"
         )(l3_xyz, l3, train=train, fps_key=_subkey(fps_key, 4))
 
-        l3 = FeaturePropagation([256, 256], name="fp4")(
+        l3 = FeaturePropagation([256, 256], dtype=self.dtype, name="fp4")(
             l3_xyz, l4_xyz, l3, l4, train=train
         )
-        l2 = FeaturePropagation([256, 256], name="fp3")(
+        l2 = FeaturePropagation([256, 256], dtype=self.dtype, name="fp3")(
             l2_xyz, l3_xyz, l2, l3, train=train
         )
-        l1 = FeaturePropagation([256, 128], name="fp2")(
+        l1 = FeaturePropagation([256, 128], dtype=self.dtype, name="fp2")(
             l1_xyz, l2_xyz, l1, l2, train=train
         )
-        l0 = FeaturePropagation([128, 128, 128], name="fp1")(
+        l0 = FeaturePropagation([128, 128, 128], dtype=self.dtype, name="fp1")(
             l0_xyz, l1_xyz, None, l1, train=train
         )
 
-        x = nn.Dense(128, name="conv1")(l0)
+        x = nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(l0)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             name="bn1",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes, name="conv2")(x)
+        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)
+        x = x.astype(jnp.float32)  # fp32 log_softmax for stable NLL
         return nn.log_softmax(x, axis=-1), None

@@ -7,7 +7,7 @@ coarse set has a single point, broadcast it instead. Concatenate the fine
 level's skip features, then a pointwise Conv1d+BN+ReLU stack.
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -20,6 +20,7 @@ class FeaturePropagation(nn.Module):
     """Upsample coarse features to fine points and fuse with skip features."""
 
     mlp: Sequence[int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -44,4 +45,4 @@ class FeaturePropagation(nn.Module):
             x = jnp.concatenate([feats_fine, interpolated], axis=-1)
         else:
             x = interpolated
-        return SharedMLP(self.mlp, name="mlp")(x, train=train)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(x, train=train)

@@ -17,9 +17,10 @@ BatchNorm parity notes (SURVEY.md §7 "hard parts"):
     parameter trees map 1:1 for weight import.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
@@ -33,22 +34,35 @@ class SharedMLP(nn.Module):
       use_bn: apply BatchNorm after each Dense (reference always does).
       final_act: apply ReLU after the last layer (reference MLPs do; heads
         that end in logits pass False and add their own tail).
+      dtype: compute/activation dtype. bfloat16 halves the HBM traffic of
+        the grouped activations (the SA layers' bottleneck on v5e) and
+        doubles MXU rate; params and BN statistics stay float32
+        (param_dtype below), so this is a pure activation-precision knob.
     """
 
     features: Sequence[int]
     use_bn: bool = True
     final_act: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
         for i, width in enumerate(self.features):
-            x = nn.Dense(width, name=f"dense_{i}")(x)
+            x = nn.Dense(
+                width,
+                name=f"dense_{i}",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=BN_MOMENTUM,
                     epsilon=BN_EPS,
                     name=f"bn_{i}",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
                 )(x)
             if self.final_act or i < len(self.features) - 1:
                 x = nn.relu(x)

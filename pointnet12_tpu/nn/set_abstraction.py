@@ -12,7 +12,7 @@ VPU reduction XLA fuses with the final ReLU. FPS is computed once per layer
 and shared across MSG branches.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -38,6 +38,7 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int] = ()
     group_all: bool = False
     impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -59,7 +60,7 @@ class SetAbstraction(nn.Module):
                 fps_key=fps_key,
                 impl=self.impl,
             )
-        x = SharedMLP(self.mlp, name="mlp")(grouped, train=train)
+        x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(grouped, train=train)
         return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
 
 
@@ -71,6 +72,7 @@ class SetAbstractionMSG(nn.Module):
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
     impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -99,6 +101,6 @@ class SetAbstractionMSG(nn.Module):
                 )
             else:
                 grouped = grouped_xyz
-            x = SharedMLP(mlp, name=f"branch_{i}")(grouped, train=train)
+            x = SharedMLP(mlp, dtype=self.dtype, name=f"branch_{i}")(grouped, train=train)
             branch_outs.append(jnp.max(x, axis=2))
         return new_xyz, jnp.concatenate(branch_outs, axis=-1)
