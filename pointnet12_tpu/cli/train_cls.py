@@ -21,7 +21,7 @@ def parse_args(argv=None):
     )
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--dataset", type=str, default="modelnet40",
-                   choices=["modelnet40", "synthetic"])
+                   choices=["modelnet40", "modelnet40_txt", "synthetic"])
     p.add_argument("--num_point", type=int, default=1024)
     p.add_argument("--num_classes", type=int, default=40)
     return p.parse_args(argv)

@@ -15,6 +15,10 @@ def get_classification_dataset(
         from pointnet12_tpu.data.modelnet40 import ModelNet40H5
 
         return ModelNet40H5(data_root, split=split, num_point=num_point, **kw)
+    if name == "modelnet40_txt":
+        from pointnet12_tpu.data.modelnet40 import ModelNet40Txt
+
+        return ModelNet40Txt(data_root, split=split, num_point=num_point, **kw)
     raise KeyError(f"unknown classification dataset {name!r}")
 
 

@@ -33,6 +33,50 @@ def _read_filelist(root: str, split: str) -> List[str]:
     return sorted(glob.glob(os.path.join(root, f"ply_data_{split}*.h5")))
 
 
+class ModelNet40Txt:
+    """The resampled-txt ModelNet40 variant (modelnet40_normal_resampled):
+    ``<root>/<class>/<class>_NNNN.txt`` rows of ``x,y,z,nx,ny,nz`` with
+    ``modelnet40_shape_names.txt`` + ``modelnet40_{train,test}.txt`` splits
+    (SURVEY.md §2 "h5 or resampled-txt variant")."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        num_point: int = 1024,
+        normalize: bool = True,
+        use_normals: bool = False,
+    ):
+        names_file = os.path.join(root, "modelnet40_shape_names.txt")
+        with open(names_file) as f:
+            self.classes = {n.strip(): i for i, n in enumerate(f) if n.strip()}
+        split_file = os.path.join(root, f"modelnet40_{split}.txt")
+        with open(split_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        self.paths = []
+        for sid in ids:
+            cls = "_".join(sid.split("_")[:-1])
+            self.paths.append(
+                (os.path.join(root, cls, sid + ".txt"), self.classes[cls])
+            )
+        self.num_point = num_point
+        self.normalize = normalize
+        self.use_normals = use_normals
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int):
+        path, label = self.paths[i]
+        pts = np.loadtxt(path, delimiter=",").astype(np.float32)
+        pts = pts[: self.num_point]
+        if self.normalize:
+            pts[:, :3] = pc_normalize(pts[:, :3])
+        if not self.use_normals:
+            pts = pts[:, :3]
+        return pts, np.int32(label)
+
+
 class ModelNet40H5:
     def __init__(
         self,

@@ -38,11 +38,20 @@ def get_logger(name: str, log_dir: Optional[str] = None) -> logging.Logger:
 
 
 class MetricWriter:
-    """Appends one JSON object per record to metrics.jsonl."""
+    """Structured metrics: one JSON object per record to metrics.jsonl,
+    mirrored to TensorBoard when tensorboardX is importable (SURVEY.md §5)."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = True):
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._fh = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except Exception:
+                self._tb = None
 
     def write(self, record: dict):
         rec = {
@@ -51,6 +60,13 @@ class MetricWriter:
         }
         self._fh.write(json.dumps(rec) + "\n")
         self._fh.flush()
+        if self._tb is not None:
+            step = int(rec.get("epoch", rec.get("step", 0)))
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k not in ("epoch", "step"):
+                    self._tb.add_scalar(k, v, step)
 
     def close(self):
         self._fh.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -136,6 +136,33 @@ def test_modelnet40_h5_format(tmp_path):
     assert np.max(np.linalg.norm(pts, axis=1)) <= 1.0 + 1e-5  # normalized
 
 
+def test_modelnet40_txt_format(tmp_path):
+    rng = np.random.RandomState(0)
+    classes = ["airplane", "bed"]
+    (tmp_path / "modelnet40_shape_names.txt").write_text("\n".join(classes))
+    train_ids, test_ids = [], []
+    for c in classes:
+        (tmp_path / c).mkdir()
+        for i in range(3):
+            sid = f"{c}_{i:04d}"
+            pts = rng.randn(200, 6).astype(np.float32)
+            np.savetxt(tmp_path / c / f"{sid}.txt", pts, delimiter=",")
+            (train_ids if i < 2 else test_ids).append(sid)
+    (tmp_path / "modelnet40_train.txt").write_text("\n".join(train_ids))
+    (tmp_path / "modelnet40_test.txt").write_text("\n".join(test_ids))
+
+    from pointnet12_tpu.data.modelnet40 import ModelNet40Txt
+
+    tr = ModelNet40Txt(str(tmp_path), "train", num_point=128)
+    te = ModelNet40Txt(str(tmp_path), "test", num_point=128, use_normals=True)
+    assert len(tr) == 4 and len(te) == 2
+    pts, lbl = tr[0]
+    assert pts.shape == (128, 3) and int(lbl) == 0
+    ptsn, _ = te[0]
+    assert ptsn.shape == (128, 6)
+    assert np.max(np.linalg.norm(pts, axis=1)) <= 1.0 + 1e-5
+
+
 def test_s3dis_h5_format(tmp_path):
     import h5py
 
