@@ -1,0 +1,282 @@
+"""Grid-accelerated ball query: voxel binning + aligned-window scanning.
+
+The dense kernel (ballquery_pallas) is Theta(S*N*K) VPU-bound — every query
+scans every point. This version bins points into a G^3 voxel grid with cell
+size >= radius and counting-sorts them by cell id (all XLA, outside the
+kernel), so each tile of TQ spatially-adjacent queries only scans the
+points of its 27-cell neighborhood.
+
+Structure:
+  * linear cell ids ``id = (cx*G + cy)*G + cz``; queries sorted by id, so a
+    tile's query cells span a contiguous id range [lo, hi] and the union of
+    all its 3x3x3 neighborhoods is EXACTLY nine contiguous id ranges
+    ``[lo + ((dx*G+dy)*G) - 1, hi + ((dx*G+dy)*G) + 1]``, (dx,dy) in
+    {-1,0,1}^2. Wraparound ids at grid edges only add false candidates,
+    which the radius test removes.
+  * Mosaic only allows 128-aligned dynamic offsets on the lane dimension,
+    so the XLA side converts the nine point ranges into the set of DISTINCT
+    128-aligned windows of the sorted point array that cover them (padded
+    to W_MAX by repeating the first window — duplicates are harmless, see
+    below). The kernel reads W_MAX aligned (3, 128) slices per tile; any
+    covered point outside the true neighborhood fails the radius test.
+  * Each grid step processes TB tiles and stacks their candidates into one
+    (TB*TQ, W_MAX*WIN) matrix so the K extraction passes run at full VPU
+    width once per step instead of once per tile.
+  * Exactness: candidates carry ORIGINAL indices; selection is K passes of
+    masked-min over ``score = where(in_radius, orig_idx, N)`` with
+    value-retirement — which extracts ascending original indices AND
+    retires all duplicate copies of a candidate at once, reproducing
+    first-K-by-index + pad-with-first semantics bit-for-bit.
+  * If a tile needs more than W_MAX windows or a single range spans more
+    than two windows (degenerate clustering), the whole call falls back to
+    the dense kernel via ``lax.cond`` — same results, just slower.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
+from pointnet12_tpu.ops.gather import index_points
+
+G = 8  # grid resolution per dimension (8^3=512 cells: offset-table work is
+#        8x cheaper than 16^3 while the kernel's candidate budget is
+#        unchanged — coarser cells only add radius-filtered false candidates)
+H = G * G * G
+TQ = 8  # queries per tile (== f32 sublane count; bounds the id span)
+TB = 16  # tiles per grid step (TB*TQ = 128 query rows per step)
+W_MAX = 8  # aligned 128-point windows per tile
+WIN = 128  # window width == Mosaic lane alignment
+
+
+def _grid_kernel(
+    blocks_ref, q_ref, p_ref, oidx_ref, out_ref,
+    *, radius, nsample, n_total, n_tiles,
+):
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+
+    qxs, qys, qzs = [], [], []
+    cxs, cys, czs, ois = [], [], [], []
+    for tt in range(TB):
+        qt = q_ref[0, tt]  # (3, TQ)
+        qxs.append(qt[0:1, :].reshape(TQ, 1))
+        qys.append(qt[1:2, :].reshape(TQ, 1))
+        qzs.append(qt[2:3, :].reshape(TQ, 1))
+        base = (b * n_tiles + tb * TB + tt) * W_MAX
+        xs, ys, zs, oo = [], [], [], []
+        for w in range(W_MAX):
+            off = pl.multiple_of(blocks_ref[base + w] * WIN, WIN)
+            pj = p_ref[0, :, pl.ds(off, WIN)]  # (3, WIN)
+            xs.append(pj[0:1, :])
+            ys.append(pj[1:2, :])
+            zs.append(pj[2:3, :])
+            oo.append(oidx_ref[0, 0:1, pl.ds(off, WIN)])
+        cxs.append(jnp.concatenate(xs, axis=1))  # (1, W_MAX*WIN)
+        cys.append(jnp.concatenate(ys, axis=1))
+        czs.append(jnp.concatenate(zs, axis=1))
+        ois.append(jnp.concatenate(oo, axis=1))
+
+    # stack TB tiles: queries (TB*TQ, 1), candidates (TB, W*WIN) broadcast
+    # per-tile -> interleave via kron-style expansion
+    qx = jnp.concatenate(qxs, axis=0)  # (TB*TQ, 1)
+    qy = jnp.concatenate(qys, axis=0)
+    qz = jnp.concatenate(qzs, axis=0)
+    cw = W_MAX * WIN
+    cx = jnp.concatenate(
+        [jnp.broadcast_to(c, (TQ, cw)) for c in cxs], axis=0
+    )  # (TB*TQ, cw)
+    cy = jnp.concatenate([jnp.broadcast_to(c, (TQ, cw)) for c in cys], axis=0)
+    cz = jnp.concatenate([jnp.broadcast_to(c, (TQ, cw)) for c in czs], axis=0)
+    oi = jnp.concatenate([jnp.broadcast_to(c, (TQ, cw)) for c in ois], axis=0)
+
+    rows = TB * TQ
+    d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2  # (rows, cw)
+    score = jnp.where(d2 <= radius * radius, oi, n_total)
+    iota_k = lax.broadcasted_iota(jnp.int32, (rows, nsample), 1)
+
+    def body(k, carry):
+        score, out = carry
+        w = jnp.min(score, axis=1, keepdims=True)
+        out = jnp.where(iota_k == k, w, out)
+        score = jnp.where(score == w, n_total, score)  # retires duplicates too
+        return score, out
+
+    _, out = lax.fori_loop(
+        0, nsample, body, (score, jnp.zeros((rows, nsample), jnp.int32))
+    )
+    first = out[:, :1]
+    out_ref[0] = jnp.where(out == n_total, first, out)
+
+
+def _tile_windows(r_start, r_end):
+    """(T, 9) point ranges -> (T, W_MAX) distinct aligned window ids + overflow.
+
+    Vectorized over tiles for one cloud; vmapped over batch by the caller.
+    """
+    T = r_start.shape[0]
+    nonempty = r_end > r_start
+    b_lo = r_start // WIN
+    b_hi = jnp.maximum((r_end - 1) // WIN, b_lo)
+    range_overflow = jnp.any(nonempty & (b_hi - b_lo > 1))
+    BIG = jnp.int32(2**30)
+    cand = jnp.concatenate(
+        [
+            jnp.where(nonempty, b_lo, BIG),
+            jnp.where(nonempty & (b_hi > b_lo), b_hi, BIG),
+        ],
+        axis=1,
+    )  # (T, 18)
+    cand = jnp.sort(cand, axis=1)
+    uniq = jnp.concatenate(
+        [jnp.ones((T, 1), bool), cand[:, 1:] != cand[:, :-1]], axis=1
+    ) & (cand < BIG)
+    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1  # position if kept
+    n_uniq = jnp.max(rank, axis=1) + 1  # distinct windows per tile
+    count_overflow = jnp.any(n_uniq > W_MAX)
+    # scatter kept blocks into W_MAX slots, pad with slot 0's value
+    slot = jnp.where(uniq, jnp.minimum(rank, W_MAX - 1), W_MAX)  # W_MAX = drop
+    out = jnp.zeros((T, W_MAX + 1), jnp.int32)
+    out = jax.vmap(lambda o, s, c: o.at[s].set(c, mode="drop"))(
+        out, slot, cand
+    )[:, :W_MAX]
+    first = out[:, :1]
+    pad = lax.broadcasted_iota(jnp.int32, (T, W_MAX), 1) >= n_uniq[:, None]
+    out = jnp.where(pad, first, out)
+    out = jnp.where((n_uniq[:, None] <= 0), 0, out)
+    return out, range_overflow | count_overflow
+
+
+def _searchsorted_all_cells(skey: jnp.ndarray, n: int) -> jnp.ndarray:
+    """offsets[b, c] = first position in sorted skey[b] with value >= c,
+    for all c in [0, H]. Hand-rolled binary search over the batched fast
+    gather — XLA's jnp.searchsorted lowering cost 8 ms at (16, 4096) on
+    v5e; this is <1 ms."""
+    B = skey.shape[0]
+    c_range = jnp.arange(H + 1, dtype=jnp.int32)[None, :]  # (1, H+1)
+    lo = jnp.zeros((B, H + 1), jnp.int32)
+    hi = jnp.full((B, H + 1), n, jnp.int32)
+    for _ in range((n + 1).bit_length()):
+        mid = (lo + hi) // 2
+        v = _take1(skey, jnp.minimum(mid, n - 1))
+        # mid == n means the probe is past the end: never move right
+        go_right = (v < c_range) & (mid < n)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def _take1(arr2d, idx2d):
+    """Fast batched 1-D gather: arr (B, N), idx (B, *S) -> (B, *S)."""
+    B, N = arr2d.shape
+    flat = idx2d.reshape(B, -1).astype(jnp.int32)
+    off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+    out = jnp.take(arr2d.reshape(-1), (flat + off).reshape(-1), axis=0)
+    return out.reshape(idx2d.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
+def ballquery_grid(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact ball query via voxel binning. Same contract as ballquery_pallas."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    if S % (TQ * TB) != 0 or N % WIN != 0:
+        return ballquery_pallas(
+            radius, nsample, xyz, new_xyz, interpret=interpret
+        )
+    T = S // TQ
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+
+    # ---- XLA side: bin, sort, offsets, per-tile windows ------------------
+    lo = jnp.min(xyz, axis=1, keepdims=True)
+    hi = jnp.max(xyz, axis=1, keepdims=True)
+    extent = jnp.max(hi - lo, axis=-1, keepdims=True)
+    g = jnp.maximum(extent / G, radius)  # cell size >= radius
+    cell = jnp.clip(jnp.floor((xyz - lo) / g).astype(jnp.int32), 0, G - 1)
+    key = (cell[..., 0] * G + cell[..., 1]) * G + cell[..., 2]
+    perm = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
+    skey = _take1(key, perm)
+    sp = index_points(xyz, perm)  # sorted points (fast flat gather)
+
+    offsets = _searchsorted_all_cells(skey, N)  # (B, H+1)
+
+    qcell = jnp.clip(jnp.floor((new_xyz - lo) / g).astype(jnp.int32), 0, G - 1)
+    qkey = (qcell[..., 0] * G + qcell[..., 1]) * G + qcell[..., 2]
+    qperm = jnp.argsort(qkey, axis=1, stable=True).astype(jnp.int32)
+    sqkey = _take1(qkey, qperm)
+    sq = index_points(new_xyz, qperm)
+
+    tkey = sqkey.reshape(B, T, TQ)
+    id_lo, id_hi = tkey[:, :, 0], tkey[:, :, TQ - 1]
+    dxy = jnp.array(
+        [(dx * G + dy) * G for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        jnp.int32,
+    )
+    c_lo = jnp.clip(id_lo[:, :, None] + dxy - 1, 0, H - 1)  # (B, T, 9)
+    c_hi = jnp.clip(id_hi[:, :, None] + dxy + 1, 0, H - 1)
+    r_start = _take1(offsets, c_lo)
+    r_end = _take1(offsets, c_hi + 1)
+    max_block = N // WIN - 1  # so off + WIN <= N
+
+    blocks, overflow = jax.vmap(_tile_windows)(r_start, r_end)
+    overflow = jnp.any(overflow)
+    blocks = jnp.minimum(blocks, max_block)
+
+    spT = jnp.transpose(sp, (0, 2, 1))  # (B, 3, N)
+    sq_tiles = jnp.transpose(sq, (0, 2, 1)).reshape(B, 3, T, TQ)
+    sq_tiles = jnp.transpose(sq_tiles, (0, 2, 1, 3))  # (B, T, 3, TQ)
+    oidx = perm[:, None, :]  # (B, 1, N) original indices
+
+    def run_grid(_):
+        out_sorted = pl.pallas_call(
+            functools.partial(
+                _grid_kernel,
+                radius=float(radius),
+                nsample=nsample,
+                n_total=N,
+                n_tiles=T,
+            ),
+            grid=(B, T // TB),
+            out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # blocks, flat
+                pl.BlockSpec(
+                    (1, TB, 3, TQ),
+                    lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, TB * TQ, nsample),
+                lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(blocks.reshape(-1), sq_tiles, spT, oidx)
+        inv = jnp.argsort(qperm, axis=1).astype(jnp.int32)
+        return index_points(out_sorted, inv)
+
+    def run_dense(_):
+        return ballquery_pallas(
+            radius, nsample, xyz, new_xyz, interpret=interpret
+        )
+
+    return lax.cond(overflow, run_dense, run_grid, operand=None)

@@ -62,10 +62,26 @@ def query_ball_point(
       ``(B, S, nsample)`` int32 indices into N, replicating the reference's
       first-K-by-index + pad-with-first semantics.
     """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
     if impl == "auto":
         from pointnet12_tpu.kernels import dispatch
 
-        impl = "pallas" if dispatch.pallas_enabled() else "jnp"
+        if dispatch.pallas_enabled():
+            # the grid kernel's sort/offset prep costs ~2 ms; it beats the
+            # dense Theta(S*N*K) scan only for large clouds (measured
+            # crossover ~N=6k on v5e at S=1024, K=32)
+            impl = (
+                "grid"
+                if (N >= 8192 and N % 128 == 0 and S % 128 == 0)
+                else "pallas"
+            )
+        else:
+            impl = "jnp"
+    if impl == "grid":
+        from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
+
+        return ballquery_grid(radius, nsample, xyz, new_xyz)
     if impl == "pallas":
         from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
 

@@ -59,6 +59,43 @@ def test_ballquery_pallas_matches_jnp(clouds):
     np.testing.assert_array_equal(got[ok], want[ok])
 
 
+def test_ballquery_grid_matches_jnp(clouds):
+    from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
+
+    start = jnp.zeros((B,), jnp.int32)
+    new_xyz = index_points(clouds, _fps_jnp(clouds, S, start))
+    want = np.asarray(_ballquery_jnp(RADIUS, K, clouds, new_xyz))
+    got = np.asarray(
+        ballquery_grid(RADIUS, K, clouds, new_xyz, interpret=True)
+    )
+    d2 = np.sum(
+        (np.asarray(new_xyz)[:, :, None, :] - np.asarray(clouds)[:, None])
+        ** 2,
+        -1,
+    )
+    ok = ~np.any(np.abs(d2 - RADIUS**2) < 1e-5, axis=-1)
+    np.testing.assert_array_equal(got[ok], want[ok])
+
+
+def test_ballquery_grid_fallback_on_clusters():
+    """Degenerate clustering (one overloaded voxel) takes the dense path."""
+    from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
+
+    rng = np.random.RandomState(3)
+    xyz = np.concatenate(
+        [
+            np.full((1, 300, 3), 0.5, np.float32),
+            rng.uniform(size=(1, 212, 3)).astype(np.float32),
+        ],
+        axis=1,
+    )
+    xyz = jnp.asarray(xyz)
+    new_xyz = index_points(xyz, _fps_jnp(xyz, 64, jnp.zeros((1,), jnp.int32)))
+    want = np.asarray(_ballquery_jnp(0.1, 16, xyz, new_xyz))
+    got = np.asarray(ballquery_grid(0.1, 16, xyz, new_xyz, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_three_nn_pallas_matches_jnp(clouds):
     from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
     from pointnet12_tpu.ops.interpolate import three_nn
