@@ -97,6 +97,8 @@ def run_training(args, task: str):
     model_kwargs = {"num_classes": num_classes}
     if model_name in ("pointnet_cls", "pointnet_seg"):
         model_kwargs["feature_transform"] = args.feature_transform
+    elif getattr(args, "bf16", False):
+        model_kwargs["dtype"] = jnp.bfloat16
     model = get_model(model_name, **model_kwargs)
 
     tx = make_optimizer(
@@ -114,8 +116,34 @@ def run_training(args, task: str):
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     logger.info("model %s: %.2fM params", model_name, n_params / 1e6)
 
-    mesh = mesh_lib.make_mesh() if len(jax.devices()) > 1 else None
-    train_step = make_train_step(model, task=task, num_classes=num_classes, mesh=mesh)
+    class_weight = None
+    if task == "seg" and getattr(args, "class_weights", False):
+        # reference lineage: label weights from train-set frequency
+        counts = np.zeros(num_classes, np.float64)
+        for i in range(min(len(train_ds), 64)):  # sampled estimate
+            counts += np.bincount(
+                np.asarray(train_ds[i][1]).ravel(), minlength=num_classes
+            )
+        freq = counts / max(counts.sum(), 1)
+        w = np.power(np.maximum(freq, 1e-6), -1.0 / 3.0)  # lineage cube-root
+        class_weight = jnp.asarray(w / w.mean(), jnp.float32)
+        logger.info("class weights: %s", np.round(np.asarray(class_weight), 3))
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.batchsize % n_dev == 0:
+        mesh = mesh_lib.make_mesh()
+    else:
+        mesh = None
+        if n_dev > 1:
+            logger.warning(
+                "batchsize %d not divisible by %d devices; running "
+                "single-device (pick a divisible batchsize for DP)",
+                args.batchsize, n_dev,
+            )
+    train_step = make_train_step(
+        model, task=task, num_classes=num_classes,
+        class_weight=class_weight, mesh=mesh,
+    )
     eval_step = make_eval_step(model, task=task, num_classes=num_classes, mesh=mesh)
 
     ckpt = CheckpointManager(f"{exp_dir}/checkpoints", best_fn_metric="score")
@@ -196,6 +224,12 @@ def evaluate(state, eval_step, feeder, num_classes, task, mesh=None):
         n += 1
     n = max(n, 1)
     out = {"eval_loss": total_loss / n, "accuracy": total_acc / n}
+    cm_np = np.asarray(cm)
+    row = cm_np.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        class_acc = np.where(row > 0, np.diag(cm_np) / np.maximum(row, 1), np.nan)
+    out["class_acc"] = [float(x) for x in class_acc]
+    out["mean_class_acc"] = float(np.nanmean(class_acc))
     if task == "seg":
         iou, miou, overall = iou_from_confusion(cm)
         out["miou"] = float(miou)
@@ -228,4 +262,9 @@ def add_common_args(parser, task: str):
                         help="capture a jax.profiler trace of epoch 1 here")
     parser.add_argument("--debug_nans", action="store_true",
                         help="fail at the first NaN-producing op")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 activations (EXPERIMENTAL: eval-quality "
+                             "regression observed; params/BN stats stay fp32)")
+    parser.add_argument("--class_weights", action="store_true",
+                        help="inverse-frequency class weights in the seg loss")
     return parser

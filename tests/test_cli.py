@@ -1,0 +1,116 @@
+"""CLI integration tests: train -> evaluate -> visualize on tiny synthetic
+data (CPU). Mirrors the reference's script-level usage (SURVEY.md §3.1)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_cls_cli_end_to_end(tmp_path):
+    from pointnet12_tpu.cli import train_cls
+
+    best = train_cls.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--epoch", "2",
+            "--batchsize", "8",
+            "--num_point", "64",
+            "--num_classes", "4",
+            "--log_dir", str(tmp_path),
+            "--no-augment",
+        ]
+    )
+    assert 0.0 <= best <= 1.0
+    exp = glob.glob(str(tmp_path / "cls-pointnet-*"))[0]
+    # logging artifacts exist (SURVEY.md §5 observability)
+    assert os.path.exists(f"{exp}/logs/train.txt")
+    records = [
+        json.loads(line) for line in open(f"{exp}/logs/metrics.jsonl")
+    ]
+    assert len(records) == 2 and "accuracy" in records[0]
+    # checkpoints written
+    assert glob.glob(f"{exp}/checkpoints/*")
+
+
+def test_train_evaluate_visualize_roundtrip(tmp_path):
+    from pointnet12_tpu.cli import evaluate, train_semseg, visualize
+
+    train_semseg.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--epoch", "1",
+            "--batchsize", "4",
+            "--num_point", "128",
+            "--num_classes", "5",
+            "--log_dir", str(tmp_path),
+            "--no-augment",
+        ]
+    )
+    exp = glob.glob(str(tmp_path / "seg-pointnet-*"))[0]
+
+    out = evaluate.main(
+        [
+            "--task", "seg",
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--num_point", "128",
+            "--num_classes", "5",
+            "--batchsize", "4",
+            "--checkpoint", f"{exp}/checkpoints",
+        ]
+    )
+    assert "miou" in out and 0.0 <= out["miou"] <= 1.0
+    assert len(out["iou_per_class"]) == 5
+
+    viz_dir = tmp_path / "viz"
+    visualize.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--num_point", "128",
+            "--num_classes", "5",
+            "--checkpoint", f"{exp}/checkpoints",
+            "--out", str(viz_dir),
+            "--num_clouds", "1",
+        ]
+    )
+    ply = (viz_dir / "cloud000_pred.ply").read_text().splitlines()
+    assert ply[0] == "ply" and "element vertex 128" in ply[2]
+    assert len(ply) == 10 + 128  # header + points
+
+
+def test_resume_from_pretrain(tmp_path):
+    from pointnet12_tpu.cli import train_cls
+
+    train_cls.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--epoch", "1",
+            "--batchsize", "8",
+            "--num_point", "64",
+            "--num_classes", "4",
+            "--log_dir", str(tmp_path / "a"),
+            "--no-augment",
+        ]
+    )
+    exp = glob.glob(str(tmp_path / "a" / "cls-pointnet-*"))[0]
+    best = train_cls.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--epoch", "1",
+            "--batchsize", "8",
+            "--num_point", "64",
+            "--num_classes", "4",
+            "--log_dir", str(tmp_path / "b"),
+            "--pretrain", f"{exp}/checkpoints",
+            "--no-augment",
+        ]
+    )
+    assert 0.0 <= best <= 1.0
