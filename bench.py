@@ -41,7 +41,7 @@ FEAT_DIM = 9
 SHORT, LONG = 2, 12
 
 
-def _marginal_time(make_looped, *args, reps=3, short=SHORT, long=LONG):
+def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
     """Device seconds per iteration: (t_long - t_short) / (long - short)."""
     f_short = jax.jit(make_looped(short))
     f_long = jax.jit(make_looped(long))
@@ -94,6 +94,29 @@ def bench_train_step():
     return BATCH / sec, sec
 
 
+def bench_inference():
+    """Eval-mode forward clouds/sec (the serving metric)."""
+    from pointnet12_tpu.models import get_model
+
+    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    key = jax.random.PRNGKey(0)
+    points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT_DIM))
+    variables = model.init({"params": key}, points[:1], train=False)
+
+    def make_looped(k):
+        def run(points):
+            def body(i, acc):
+                lp, _ = model.apply(variables, points + acc * 0, train=False)
+                return acc + lp[0, 0, 0]
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    sec = _marginal_time(make_looped, points)
+    return BATCH / sec, sec
+
+
 def bench_kernels():
     from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
     from pointnet12_tpu.kernels.fps_pallas import fps_pallas
@@ -134,6 +157,7 @@ def bench_kernels():
 
 def main():
     clouds_per_sec, sec_per_step = bench_train_step()
+    infer_cps, _ = bench_inference()
     fps_us, bq_us = bench_kernels()
     result = {
         "metric": "clouds/sec/chip PointNet++ SSG semseg fwd+bwd (B=16, N=4096)",
@@ -141,6 +165,7 @@ def main():
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / V100_REF_CLOUDS_PER_SEC, 3),
         "step_ms": round(sec_per_step * 1e3, 2),
+        "inference_clouds_per_sec": round(infer_cps, 2),
         "fps_us_per_cloud": round(fps_us, 1),
         "ballquery_us_per_cloud": round(bq_us, 1),
         "fps_ballquery_us_per_cloud": round(fps_us + bq_us, 1),
