@@ -73,9 +73,11 @@ class PointNet2SemSeg(nn.Module):
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             name="bn1",
-            dtype=self.dtype,
+            # fp32: bf16 BN corrupts running stats (see nn/mlp.py)
+            dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x)
+        x = x.astype(self.dtype)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)

@@ -56,14 +56,20 @@ class SharedMLP(nn.Module):
                 param_dtype=jnp.float32,
             )(x)
             if self.use_bn:
+                # BN compute dtype is PINNED to fp32: with dtype=bf16 the
+                # running statistics corrupt and eval-mode quality collapses
+                # (measured mIoU 0.18 vs 0.53 on the synthetic seg probe);
+                # batch-stat eval was fine, isolating the EMA pathway. The
+                # matmuls above stay in self.dtype, so MXU speed is kept.
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=BN_MOMENTUM,
                     epsilon=BN_EPS,
                     name=f"bn_{i}",
-                    dtype=self.dtype,
+                    dtype=jnp.float32,
                     param_dtype=jnp.float32,
                 )(x)
+                x = x.astype(self.dtype)
             if self.final_act or i < len(self.features) - 1:
                 x = nn.relu(x)
         return x

@@ -181,6 +181,37 @@ def test_s3dis_h5_format(tmp_path):
     assert pts.shape == (256, 9) and lbl.shape == (256,)
 
 
+def test_s3dis_prep_roundtrip(tmp_path):
+    """Raw Stanford3dDataset tree -> prep tool -> S3DISH5 loader."""
+    rng = np.random.RandomState(0)
+    for area, room in [("Area_1", "office_1"), ("Area_5", "office_2")]:
+        ann = tmp_path / "raw" / area / room / "Annotations"
+        ann.mkdir(parents=True)
+        for cls, k in [("floor", 1), ("wall", 1), ("chair", 2)]:
+            pts = np.concatenate(
+                [rng.uniform(0, 2.0, (300, 3)), rng.randint(0, 255, (300, 3))],
+                axis=1,
+            )
+            np.savetxt(ann / f"{cls}_{k}.txt", pts, fmt="%.3f")
+
+    from pointnet12_tpu.cli import prepare_s3dis
+
+    out = tmp_path / "h5"
+    prepare_s3dis.main(
+        ["--root", str(tmp_path / "raw"), "--out", str(out),
+         "--num_point", "256"]
+    )
+    from pointnet12_tpu.data.s3dis import S3DISH5
+
+    tr = S3DISH5(str(out), "train", test_area=5, num_point=256)
+    te = S3DISH5(str(out), "test", test_area=5, num_point=256)
+    assert len(tr) > 0 and len(te) > 0
+    pts, lbl = tr[0]
+    assert pts.shape == (256, 9) and lbl.shape == (256,)
+    assert pts[:, 3:6].min() >= 0 and pts[:, 3:6].max() <= 1  # rgb scaled
+    assert set(np.unique(lbl)) <= {1, 2, 8, 12}  # floor/wall/chair(/clutter)
+
+
 def test_kitti_raw_and_prep_roundtrip(tmp_path):
     from pointnet12_tpu.data import semantic_kitti as sk
 
