@@ -52,7 +52,9 @@ def run_training(args, task: str):
         enable_nan_debugging()
     exp_dir = make_experiment_dir(args.log_dir, f"{task}-{args.model_name}")
     logger = get_logger("train", f"{exp_dir}/logs")
-    metrics_writer = MetricWriter(f"{exp_dir}/logs")
+    metrics_writer = MetricWriter(
+        f"{exp_dir}/logs", tensorboard=getattr(args, "tensorboard", False)
+    )
     logger.info("experiment dir: %s", exp_dir)
     logger.info("args: %s", vars(args))
     logger.info("devices: %s", jax.devices())
@@ -267,4 +269,6 @@ def add_common_args(parser, task: str):
                              "regression observed; params/BN stats stay fp32)")
     parser.add_argument("--class_weights", action="store_true",
                         help="inverse-frequency class weights in the seg loss")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="mirror metrics to TensorBoard (tensorboardX)")
     return parser

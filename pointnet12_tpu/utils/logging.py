@@ -39,9 +39,13 @@ def get_logger(name: str, log_dir: Optional[str] = None) -> logging.Logger:
 
 class MetricWriter:
     """Structured metrics: one JSON object per record to metrics.jsonl,
-    mirrored to TensorBoard when tensorboardX is importable (SURVEY.md §5)."""
+    optionally mirrored to TensorBoard (SURVEY.md §5).
 
-    def __init__(self, log_dir: str, tensorboard: bool = True):
+    TensorBoard mirroring is OPT-IN: tensorboardX's event writer forks a
+    multiprocessing worker, which aborts the process when the JAX runtime
+    is already initialized (observed intermittently under pytest)."""
+
+    def __init__(self, log_dir: str, tensorboard: bool = False):
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self._fh = open(self.path, "a")
         self._tb = None

@@ -1,0 +1,65 @@
+"""Serving API tests: checkpoint and torch-weight predictors."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from pointnet12_tpu.infer import Predictor, pad_batch
+from pointnet12_tpu.models import get_model
+from pointnet12_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    make_optimizer,
+)
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    model = get_model("pointnet_cls", num_classes=4)
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (2, 128, 3))
+    state = create_train_state(model, key, pts[:1], make_optimizer())
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(0, state, metrics={"score": 0.0})
+    mgr.wait()
+
+    p = Predictor.from_checkpoint(
+        "pointnet_cls", str(tmp_path), num_classes=4, sample_points=pts[:1]
+    )
+    logp = p(pts)
+    assert logp.shape == (2, 4)
+    want, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        pts,
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(want), atol=1e-6)
+    labels = p.predict_labels(pts)
+    assert labels.shape == (2,) and labels.dtype == np.int32
+
+
+def test_predictor_from_torch_weights():
+    from tests.torch_ref import models_torch
+
+    torch.manual_seed(0)
+    tmodel = models_torch.PointNetCls(num_classes=5)
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    p = Predictor.from_torch_state_dict("pointnet_cls", sd, num_classes=5)
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(2, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tmodel(torch.from_numpy(pts).permute(0, 2, 1))
+    np.testing.assert_allclose(
+        np.asarray(p(pts)), want.numpy(), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_pad_batch():
+    pts = np.ones((3, 16, 3), np.float32)
+    padded, n = pad_batch(pts, 8)
+    assert padded.shape == (8, 16, 3) and n == 3
+    same, n2 = pad_batch(pts, 3)
+    assert same is pts and n2 == 3
