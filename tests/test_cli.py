@@ -89,6 +89,42 @@ def test_train_evaluate_visualize_roundtrip(tmp_path):
     assert len(ply) == 10 + 128  # header + points
 
 
+def test_import_torch_checkpoint(tmp_path):
+    """torch .pth -> Orbax checkpoint -> Predictor, logits match torch."""
+    import torch
+
+    from tests.torch_ref import models_torch
+
+    torch.manual_seed(0)
+    tmodel = models_torch.PointNetCls(num_classes=5)
+    tmodel.eval()
+    pth = tmp_path / "best_model.pth"
+    torch.save({"model_state_dict": tmodel.state_dict()}, pth)
+
+    from pointnet12_tpu.cli import import_torch
+
+    out = tmp_path / "ckpt"
+    import_torch.main(
+        [
+            "--model_name", "pointnet_cls",
+            "--num_classes", "5",
+            "--torch_checkpoint", str(pth),
+            "--out", str(out),
+        ]
+    )
+
+    from pointnet12_tpu.infer import Predictor
+
+    p = Predictor.from_checkpoint("pointnet_cls", str(out), num_classes=5)
+    rng = np.random.RandomState(0)
+    pts = rng.randn(2, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        want, _ = tmodel(torch.from_numpy(pts).permute(0, 2, 1))
+    np.testing.assert_allclose(
+        np.asarray(p(pts)), want.numpy(), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_resume_from_pretrain(tmp_path):
     from pointnet12_tpu.cli import train_cls
 
