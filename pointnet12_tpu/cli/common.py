@@ -92,7 +92,9 @@ def run_training(args, task: str):
     train_feeder = Feeder(
         train_ds, args.batchsize, shuffle=True, augment_fn=aug_fn
     )
-    test_feeder = Feeder(test_ds, args.batchsize, shuffle=False)
+    # pad_last: eval must consume EVERY sample (reference evaluates the full
+    # set); the padded tail carries a mask the eval step weights by.
+    test_feeder = Feeder(test_ds, args.batchsize, shuffle=False, pad_last=True)
     steps_per_epoch = max(len(train_feeder), 1)
 
     model_name = _resolve_model_name(args.model_name, task)
@@ -142,11 +144,15 @@ def run_training(args, task: str):
                 "single-device (pick a divisible batchsize for DP)",
                 args.batchsize, n_dev,
             )
+    ignore_class = getattr(args, "ignore_class", None) if task == "seg" else None
     train_step = make_train_step(
         model, task=task, num_classes=num_classes,
-        class_weight=class_weight, mesh=mesh,
+        class_weight=class_weight, mesh=mesh, ignore_class=ignore_class,
     )
-    eval_step = make_eval_step(model, task=task, num_classes=num_classes, mesh=mesh)
+    eval_step = make_eval_step(
+        model, task=task, num_classes=num_classes, mesh=mesh,
+        ignore_class=ignore_class,
+    )
 
     ckpt = CheckpointManager(f"{exp_dir}/checkpoints", best_fn_metric="score")
     if args.pretrain:
@@ -178,7 +184,8 @@ def run_training(args, task: str):
             logger.info("profiler trace written to %s", profile_dir)
 
         eval_metrics = evaluate(
-            state, eval_step, test_feeder, num_classes, task, mesh
+            state, eval_step, test_feeder, num_classes, task, mesh,
+            ignore_class=ignore_class,
         )
         score = eval_metrics["accuracy" if task == "cls" else "miou"]
         record = {
@@ -208,24 +215,33 @@ def run_training(args, task: str):
     return best_score, exp_dir
 
 
-def evaluate(state, eval_step, feeder, num_classes, task, mesh=None):
-    """Full-set eval: accuracy (+ per-class IoU / mIoU for seg)."""
-    total_loss, total_acc, n = 0.0, 0.0, 0
+def evaluate(
+    state, eval_step, feeder, num_classes, task, mesh=None, ignore_class=None
+):
+    """Full-set eval: accuracy (+ per-class IoU / mIoU for seg).
+
+    Per-batch metrics are weighted by the batch's valid-element count so a
+    padded tail batch (``Feeder(pad_last=True)``) and ignore-class masking
+    aggregate exactly over the whole dataset.
+    """
+    total_loss, total_correct, total_count = 0.0, 0.0, 0.0
     cm = jnp.zeros((num_classes, num_classes), jnp.float32)
     for batch in feeder:
-        batch = {
-            "points": jnp.asarray(batch["points"]),
-            "label": jnp.asarray(batch["label"]),
-        }
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         m = eval_step(state, batch)
-        total_loss += float(m["loss"])
-        total_acc += float(m["accuracy"])
+        count = float(m["count"])
+        total_loss += float(m["loss"]) * count
+        total_correct += float(m["accuracy"]) * count
         cm = cm + m["confusion"]
-        n += 1
-    n = max(n, 1)
-    out = {"eval_loss": total_loss / n, "accuracy": total_acc / n}
+        total_count += count
+    total_count = max(total_count, 1.0)
+    out = {
+        "eval_loss": total_loss / total_count,
+        "accuracy": total_correct / total_count,
+        "eval_count": total_count,
+    }
     cm_np = np.asarray(cm)
     row = cm_np.sum(axis=1)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -233,7 +249,7 @@ def evaluate(state, eval_step, feeder, num_classes, task, mesh=None):
     out["class_acc"] = [float(x) for x in class_acc]
     out["mean_class_acc"] = float(np.nanmean(class_acc))
     if task == "seg":
-        iou, miou, overall = iou_from_confusion(cm)
+        iou, miou, overall = iou_from_confusion(cm, ignore_class=ignore_class)
         out["miou"] = float(miou)
         out["overall_acc"] = float(overall)
         out["iou_per_class"] = [float(x) for x in np.asarray(iou)]
@@ -269,6 +285,11 @@ def add_common_args(parser, task: str):
                              "regression observed; params/BN stats stay fp32)")
     parser.add_argument("--class_weights", action="store_true",
                         help="inverse-frequency class weights in the seg loss")
+    if task == "seg":
+        parser.add_argument(
+            "--ignore_class", type=int, default=None,
+            help="segmentation label excluded from loss/accuracy/mIoU "
+                 "(Semantic-KITTI: pass 0 = unlabeled)")
     parser.add_argument("--tensorboard", action="store_true",
                         help="mirror metrics to TensorBoard (tensorboardX)")
     return parser

@@ -1,6 +1,9 @@
 """Standalone checkpoint evaluation CLI (reference: test/eval scripts,
 SURVEY.md §3.5) — headless metrics dump (accuracy / IoU table), no GUI.
 
+Restores only ``{params, batch_stats}`` (template-free), so checkpoints
+trained with any optimizer (``--optimizer sgd`` included) evaluate fine.
+
 Example:
   python -m pointnet12_tpu.cli.evaluate --task seg --model_name pointnet2 \
       --dataset synthetic --checkpoint experiment/seg-.../checkpoints
@@ -8,6 +11,8 @@ Example:
 
 import argparse
 import json
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +44,8 @@ def parse_args(argv=None):
     p.add_argument("--batchsize", type=int, default=16)
     p.add_argument("--feature_transform", action="store_true")
     p.add_argument("--split", type=str, default="test")
+    p.add_argument("--ignore_class", type=int, default=None,
+                   help="seg label excluded from loss/accuracy/mIoU")
     return p.parse_args(argv)
 
 
@@ -48,15 +55,25 @@ def main(argv=None):
     num_point = args.num_point or (1024 if task == "cls" else 4096)
     num_classes = args.num_classes or (40 if task == "cls" else 13)
 
+    # synthetic generators are parameterized by class count (mirrors
+    # common.run_training — without this, labels can exceed the model's
+    # class count and in-jit gathers clamp silently)
+    ds_kw = {"num_classes": num_classes} if args.dataset == "synthetic" else {}
     if task == "cls":
         ds = get_classification_dataset(
-            args.dataset, args.split, num_point, args.data_root
+            args.dataset, args.split, num_point, args.data_root, **ds_kw
         )
     else:
         ds = get_segmentation_dataset(
-            args.dataset, args.split, num_point, args.data_root
+            args.dataset, args.split, num_point, args.data_root, **ds_kw
         )
-    feeder = Feeder(ds, args.batchsize, shuffle=False)
+    first_label = np.asarray(ds[0][1])
+    if int(first_label.max()) >= num_classes:
+        raise ValueError(
+            f"dataset labels reach {int(first_label.max())} but the model "
+            f"has num_classes={num_classes}; pass --num_classes to match"
+        )
+    feeder = Feeder(ds, args.batchsize, shuffle=False, pad_last=True)
 
     model_name = _resolve_model_name(args.model_name, task)
     kwargs = {"num_classes": num_classes}
@@ -67,12 +84,22 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     sample = jnp.asarray(ds[0][0])[None]
     state = create_train_state(model, rng, sample, make_optimizer())
-    ckpt = CheckpointManager(args.checkpoint)
-    state, step = ckpt.restore(state)
+    variables, step = CheckpointManager(args.checkpoint).restore_variables()
+    if variables is None:
+        raise FileNotFoundError(f"no checkpoint found in {args.checkpoint}")
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
     print(f"restored checkpoint at step {step}")
 
-    eval_step = make_eval_step(model, task=task, num_classes=num_classes)
-    out = evaluate(state, eval_step, feeder, num_classes, task)
+    eval_step = make_eval_step(
+        model, task=task, num_classes=num_classes,
+        ignore_class=args.ignore_class,
+    )
+    out = evaluate(
+        state, eval_step, feeder, num_classes, task,
+        ignore_class=args.ignore_class,
+    )
     print(json.dumps(out, indent=2))
     return out
 

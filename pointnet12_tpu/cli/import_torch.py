@@ -25,7 +25,7 @@ from pointnet12_tpu.train import (
     create_train_state,
     make_optimizer,
 )
-from pointnet12_tpu.utils.torch_import import CONVERTERS
+from pointnet12_tpu.utils.torch_import import CONVERTERS, input_width
 
 
 def load_state_dict_numpy(path: str):
@@ -65,7 +65,9 @@ def main(argv=None):
         variables = CONVERTERS[args.model_name](sd)
 
     model = get_model(args.model_name, num_classes=args.num_classes, **kwargs)
-    width = 9 if "semseg" in args.model_name else 3
+    # width derived from the torch weights themselves (first-layer kernel),
+    # so e.g. 9-channel pointnet_seg checkpoints import correctly
+    width = input_width(args.model_name, variables)
     sample = jnp.zeros((1, args.num_point, width), jnp.float32)
     state = create_train_state(
         model, jax.random.PRNGKey(0), sample, make_optimizer()

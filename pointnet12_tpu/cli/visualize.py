@@ -19,11 +19,7 @@ import jax.numpy as jnp
 from pointnet12_tpu.cli.common import _resolve_model_name
 from pointnet12_tpu.data import get_segmentation_dataset
 from pointnet12_tpu.models import get_model
-from pointnet12_tpu.train import (
-    CheckpointManager,
-    create_train_state,
-    make_optimizer,
-)
+from pointnet12_tpu.train import CheckpointManager
 
 # 20-entry categorical palette (RGB uint8), cycled for higher class counts
 _PALETTE = np.array(
@@ -74,19 +70,13 @@ def main(argv=None):
         _resolve_model_name(args.model_name, "seg"),
         num_classes=args.num_classes,
     )
-    rng = jax.random.PRNGKey(0)
-    sample = jnp.asarray(ds[0][0])[None]
-    state = create_train_state(model, rng, sample, make_optimizer())
-    state, step = CheckpointManager(args.checkpoint).restore(state)
+    # template-free restore: params+batch_stats only, any-optimizer ckpts OK
+    variables, step = CheckpointManager(args.checkpoint).restore_variables()
+    if variables is None:
+        raise FileNotFoundError(f"no checkpoint found in {args.checkpoint}")
     print(f"restored checkpoint at step {step}")
 
-    apply = jax.jit(
-        lambda pts: model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            pts,
-            train=False,
-        )[0]
-    )
+    apply = jax.jit(lambda pts: model.apply(variables, pts, train=False)[0])
     os.makedirs(args.out, exist_ok=True)
     for i in range(min(args.num_clouds, len(ds))):
         pts, gt = ds[i]

@@ -2,9 +2,17 @@
 
 Reference behavior (SURVEY.md §3.1): ``torch.utils.data.DataLoader`` with
 shuffle + workers feeding numpy-augmented batches. TPU-native constraints:
-every batch has IDENTICAL shapes (drop_last always on) so the jitted step
-never recompiles, and a one-deep background prefetch thread overlaps host
-batch assembly + augmentation with device compute.
+every batch has IDENTICAL shapes so the jitted step never recompiles, and a
+one-deep background prefetch thread overlaps host batch assembly +
+augmentation with device compute.
+
+Two tail-batch policies:
+  * training (default): drop_last — a short tail would change gradient
+    statistics and shapes.
+  * eval (``pad_last=True``): the tail batch is right-padded by repeating
+    the last sample and every batch carries a ``"mask"`` (B,) validity
+    vector, so the eval consumes EVERY sample (the reference evaluates the
+    full set; silently dropping up to B-1 samples breaks comparability).
 """
 
 import queue
@@ -25,6 +33,7 @@ class Feeder:
         augment_fn: Optional[Callable] = None,
         seed: int = 0,
         prefetch: bool = True,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -32,9 +41,12 @@ class Feeder:
         self.augment_fn = augment_fn
         self.seed = seed
         self.prefetch = prefetch
+        self.pad_last = pad_last
         self._epoch = 0
 
     def __len__(self):
+        if self.pad_last:
+            return -(-len(self.dataset) // self.batch_size)  # ceil
         return len(self.dataset) // self.batch_size  # drop_last semantics
 
     def _make_batches(self) -> Iterator[dict]:
@@ -50,7 +62,21 @@ class Feeder:
             labels = np.stack(lbls)
             if self.augment_fn is not None:
                 points = self.augment_fn(points, rng=rng)
-            yield {"points": points, "label": labels}
+            batch = {"points": points, "label": labels}
+            if self.pad_last:
+                n_valid = len(idxs)
+                if n_valid < self.batch_size:  # pad by repeating the last
+                    reps = self.batch_size - n_valid
+                    batch["points"] = np.concatenate(
+                        [points, np.repeat(points[-1:], reps, axis=0)]
+                    )
+                    batch["label"] = np.concatenate(
+                        [labels, np.repeat(labels[-1:], reps, axis=0)]
+                    )
+                mask = np.zeros(self.batch_size, np.float32)
+                mask[:n_valid] = 1.0
+                batch["mask"] = mask
+            yield batch
         self._epoch += 1
 
     def __iter__(self):

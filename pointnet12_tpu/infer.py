@@ -42,26 +42,26 @@ class Predictor:
         step: Optional[int] = None,
         **model_kwargs,
     ):
-        """Restore an Orbax checkpoint written by the training CLIs."""
+        """Restore an Orbax checkpoint written by the training CLIs.
+
+        Template-free: only ``{params, batch_stats}`` are read, so the input
+        feature width comes from the checkpoint itself (no name-based width
+        heuristic) and checkpoints trained with any optimizer restore fine.
+        ``sample_points`` is accepted for API compatibility but no longer
+        needed to shape a restore template.
+        """
+        del sample_points  # width comes from the checkpoint, not a template
         from pointnet12_tpu.models import get_model
-        from pointnet12_tpu.train import (
-            CheckpointManager,
-            create_train_state,
-            make_optimizer,
-        )
+        from pointnet12_tpu.train import CheckpointManager
 
         model = get_model(model_name, num_classes=num_classes, **model_kwargs)
-        if sample_points is None:
-            # feature width is model-dependent; 9 channels covers seg models,
-            # 3 suffices for cls — callers with custom widths pass a sample
-            width = 9 if "semseg" in model_name or "seg" in model_name else 3
-            sample_points = jnp.zeros((1, 1024, width), jnp.float32)
-        rng = jax.random.PRNGKey(0)
-        state = create_train_state(model, rng, sample_points, make_optimizer())
-        state, at = CheckpointManager(checkpoint_dir).restore(state, step=step)
-        if at is None or (step is None and at == 0 and state.step == 0):
-            pass  # fresh params are allowed (e.g. smoke tests)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables, at = CheckpointManager(checkpoint_dir).restore_variables(
+            step=step
+        )
+        if variables is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {checkpoint_dir}"
+            )
         return cls(model, variables)
 
     @classmethod

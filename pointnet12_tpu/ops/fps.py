@@ -34,7 +34,10 @@ def _fps_jnp(xyz: jnp.ndarray, npoint: int, start: jnp.ndarray) -> jnp.ndarray:
         return distance, farthest, idx_buf
 
     init = (
-        jnp.full((B, N), jnp.inf, dtype=jnp.float32),
+        # 1e10, not inf: matches the Pallas kernel, the torch oracle, and the
+        # reference's saturating init so argmax tie-breaks agree even for
+        # clouds with squared extents > 1e10 (CLAUDE.md invariant).
+        jnp.full((B, N), 1e10, dtype=jnp.float32),
         start.astype(jnp.int32),
         jnp.zeros((B, npoint), dtype=jnp.int32),
     )

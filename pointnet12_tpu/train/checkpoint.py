@@ -82,5 +82,27 @@ class CheckpointManager:
         )
         return state, step
 
+    def restore_variables(self, step: Optional[int] = None):
+        """Restore only ``{"params", "batch_stats"}`` for eval/serving.
+
+        Template-free (raw) restore: unlike :meth:`restore`, this does not
+        need a matching ``opt_state`` tree, so checkpoints written with ANY
+        optimizer (``--optimizer sgd`` included) restore fine in paths that
+        never step the optimizer.
+
+        Returns ``(variables_dict, step)``; ``(None, None)`` when empty.
+        """
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        return (
+            {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            },
+            step,
+        )
+
     def close(self):
         self._mgr.close()

@@ -12,7 +12,6 @@ axis and replicates parameters; XLA inserts the gradient all-reduce over ICI.
 Donation of the incoming state buffers keeps the update in-place in HBM.
 """
 
-import functools
 from typing import Any, Optional
 
 import jax
@@ -63,29 +62,33 @@ def create_train_state(
     )
 
 
+def _point_mask(labels, task: str, ignore_class: Optional[int]):
+    """Per-element validity mask matching ``labels``' shape, or None."""
+    if task != "seg" or ignore_class is None:
+        return None
+    return (labels != ignore_class).astype(jnp.float32)
+
+
 def build_train_step(
     model,
     task: str = "cls",
     num_classes: int = 40,
     class_weight: Optional[jnp.ndarray] = None,
+    ignore_class: Optional[int] = None,
 ):
     """The raw (unjitted) train step — for composition (bench scan loops,
     custom jit wrappers). Most callers want :func:`make_train_step`.
 
     batch: ``{"points": (B, N, C), "label": (B,) | (B, N)}``.
+    ``ignore_class``: segmentation label excluded from loss and accuracy
+    (e.g. Semantic-KITTI class 0 = unlabeled; SURVEY.md §2 KITTI loader).
     Returns ``(new_state, metrics_dict)``.
     """
-    loss_fn_task = (
-        losses_lib.classification_loss
-        if task == "cls"
-        else functools.partial(
-            losses_lib.segmentation_loss, class_weight=class_weight
-        )
-    )
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         dropout_rng, fps_rng = jax.random.split(step_rng)
+        mask = _point_mask(batch["label"], task, ignore_class)
 
         def loss_fn(params):
             (log_probs, trans_feat), mutated = state.apply_fn(
@@ -96,7 +99,18 @@ def build_train_step(
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
-            loss = loss_fn_task(log_probs, batch["label"], trans_feat)
+            if task == "cls":
+                loss = losses_lib.classification_loss(
+                    log_probs, batch["label"], trans_feat
+                )
+            else:
+                loss = losses_lib.segmentation_loss(
+                    log_probs,
+                    batch["label"],
+                    trans_feat,
+                    class_weight=class_weight,
+                    mask=mask,
+                )
             return loss, (log_probs, mutated["batch_stats"])
 
         (loss, (log_probs, new_bs)), grads = jax.value_and_grad(
@@ -105,7 +119,9 @@ def build_train_step(
         new_state = state.apply_gradients(grads, new_bs)
         metrics = {
             "loss": loss,
-            "accuracy": metrics_lib.accuracy(log_probs, batch["label"]),
+            "accuracy": metrics_lib.accuracy(
+                log_probs, batch["label"], mask=mask
+            ),
         }
         return new_state, metrics
 
@@ -118,25 +134,41 @@ def make_train_step(
     num_classes: int = 40,
     class_weight: Optional[jnp.ndarray] = None,
     mesh=None,
+    ignore_class: Optional[int] = None,
 ):
     """Jitted (and optionally mesh-sharded) train step."""
     train_step = build_train_step(
-        model, task=task, num_classes=num_classes, class_weight=class_weight
+        model,
+        task=task,
+        num_classes=num_classes,
+        class_weight=class_weight,
+        ignore_class=ignore_class,
     )
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharding(mesh)
+    # `data` as a prefix sharding covers every leaf of the batch dict
+    # (points/label/mask) regardless of which optional keys are present.
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(repl, {"points": data, "label": data}, repl),
+        in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
     )
 
 
-def make_eval_step(model, task: str = "cls", num_classes: int = 40, mesh=None):
-    """Jitted eval step: loss, correct-count, and a confusion matrix."""
+def make_eval_step(
+    model,
+    task: str = "cls",
+    num_classes: int = 40,
+    mesh=None,
+    ignore_class: Optional[int] = None,
+):
+    """Jitted eval step: masked loss/accuracy, confusion matrix, and the
+    number of valid elements (``count``) so the caller can aggregate exact
+    full-set metrics across padded tail batches (batch key ``"mask"`` is the
+    (B,) cloud-validity vector emitted by ``Feeder(pad_last=True)``)."""
 
     def eval_step(state: TrainState, batch):
         log_probs, trans_feat = state.apply_fn(
@@ -144,13 +176,29 @@ def make_eval_step(model, task: str = "cls", num_classes: int = 40, mesh=None):
             batch["points"],
             train=False,
         )
-        loss = losses_lib.nll_loss(log_probs, batch["label"])
+        labels = batch["label"]
+        mask = _point_mask(labels, task, ignore_class)  # per-point or None
+        cloud_mask = batch.get("mask")  # (B,) padded-tail validity or None
+        if cloud_mask is not None:
+            cm_b = cloud_mask.astype(jnp.float32)
+            expand = cm_b if labels.ndim == 1 else cm_b[:, None]
+            mask = expand if mask is None else mask * expand
+        if mask is not None:
+            # full labels shape, not (B, 1): confusion_matrix flattens it
+            mask = jnp.broadcast_to(mask, labels.shape)
+        loss = losses_lib.nll_loss(log_probs, labels, mask=mask)
         pred = jnp.argmax(log_probs, axis=-1)
-        cm = metrics_lib.confusion_matrix(pred, batch["label"], num_classes)
+        cm = metrics_lib.confusion_matrix(pred, labels, num_classes, mask=mask)
+        count = (
+            jnp.sum(mask)
+            if mask is not None
+            else jnp.asarray(labels.size, jnp.float32)
+        )
         return {
             "loss": loss,
-            "accuracy": metrics_lib.accuracy(log_probs, batch["label"]),
+            "accuracy": metrics_lib.accuracy(log_probs, labels, mask=mask),
             "confusion": cm,
+            "count": count,
         }
 
     if mesh is None:
@@ -159,6 +207,6 @@ def make_eval_step(model, task: str = "cls", num_classes: int = 40, mesh=None):
     data = mesh_lib.batch_sharding(mesh)
     return jax.jit(
         eval_step,
-        in_shardings=(repl, {"points": data, "label": data}),
+        in_shardings=(repl, data),
         out_shardings=repl,
     )

@@ -44,16 +44,27 @@ def confusion_matrix(
     return jnp.einsum("pc,pd->cd", onehot_t, onehot_p)
 
 
-def iou_from_confusion(cm: jnp.ndarray):
-    """Per-class IoU, mIoU (over classes present), and overall accuracy."""
+def iou_from_confusion(cm: jnp.ndarray, ignore_class: Optional[int] = None):
+    """Per-class IoU, mIoU (over classes present), and overall accuracy.
+
+    ``ignore_class`` (e.g. Semantic-KITTI's unlabeled class 0) is excluded
+    from the mIoU mean and the overall accuracy, matching the reference
+    lineage's treatment of unlabeled points.
+    """
     tp = jnp.diag(cm)
     fp = jnp.sum(cm, axis=0) - tp
     fn = jnp.sum(cm, axis=1) - tp
     union = tp + fp + fn
     iou = tp / jnp.maximum(union, 1e-12)
     present = union > 0  # classes appearing in target or prediction
+    valid = jnp.ones_like(tp, dtype=bool)
+    if ignore_class is not None:
+        valid = valid.at[ignore_class].set(False)
+        present = present & valid
     miou = jnp.sum(jnp.where(present, iou, 0.0)) / jnp.maximum(
         jnp.sum(present), 1
     )
-    overall_acc = jnp.sum(tp) / jnp.maximum(jnp.sum(cm), 1e-12)
+    overall_acc = jnp.sum(jnp.where(valid, tp, 0.0)) / jnp.maximum(
+        jnp.sum(jnp.where(valid[:, None], cm, 0.0)), 1e-12
+    )
     return iou, miou, overall_acc

@@ -192,6 +192,34 @@ def convert_pointnet2_cls_msg(sd: Dict):
     return {"params": params, "batch_stats": stats}
 
 
+def input_width(model_name: str, variables) -> int:
+    """Input feature width (channels of ``points``) implied by converted or
+    restored weights — derived from the first layer's kernel shape instead
+    of name heuristics, so e.g. a 9-channel ``pointnet_seg`` checkpoint and
+    a 3-channel one are both handled.
+
+    Width relations (see the corresponding flax models):
+      * pointnet_cls / pointnet_seg: encoder ``conv1`` consumes the raw
+        points, so width == its kernel's input dim.
+      * pointnet2_semseg: SA1's MLP consumes ``[rel_xyz(3), full points]``,
+        so width == input dim - 3.
+      * pointnet2_cls_*: SA1's MLP consumes ``[rel_xyz(3), points[..., 3:]]``,
+        so width == input dim (3 when no extra features, 6 with normals).
+    """
+    p = variables["params"]
+    if model_name in ("pointnet_cls", "pointnet_seg"):
+        return int(np.asarray(p["feat"]["conv1"]["kernel"]).shape[0])
+    if model_name == "pointnet2_semseg":
+        return int(np.asarray(p["sa1"]["mlp"]["dense_0"]["kernel"]).shape[0]) - 3
+    if model_name == "pointnet2_cls_ssg":
+        return int(np.asarray(p["sa1"]["mlp"]["dense_0"]["kernel"]).shape[0])
+    if model_name == "pointnet2_cls_msg":
+        return int(
+            np.asarray(p["sa1"]["branch_0"]["dense_0"]["kernel"]).shape[0]
+        )
+    raise KeyError(f"unknown model {model_name}")
+
+
 CONVERTERS = {
     "pointnet_cls": convert_pointnet_cls,
     "pointnet_seg": convert_pointnet_seg,

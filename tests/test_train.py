@@ -81,6 +81,17 @@ def test_confusion_and_iou():
     assert abs(float(acc) - 4 / 6) < 1e-6
 
 
+def test_iou_ignore_class():
+    pred = jnp.asarray([0, 0, 1, 1, 2, 2])
+    true = jnp.asarray([0, 1, 1, 1, 2, 0])
+    cm = metrics.confusion_matrix(pred, true, 3)
+    iou, miou, acc = metrics.iou_from_confusion(cm, ignore_class=0)
+    # mIoU averages classes 1 and 2 only
+    assert abs(float(miou) - (2 / 3 + 1 / 2) / 2) < 1e-6
+    # overall acc excludes true-class-0 rows: 3 correct of 4 valid points
+    assert abs(float(acc) - 3 / 4) < 1e-6
+
+
 # ------------------------------------------------------------ train steps
 
 
@@ -121,6 +132,63 @@ def test_seg_training_step_runs_and_evals():
     assert float(jnp.sum(em["confusion"])) == 2 * 1024
 
 
+def test_full_set_eval_with_padded_tail():
+    """pad_last eval consumes every sample: confusion total == dataset size
+    even when len(ds) is not divisible by the batch size (VERDICT weak #4)."""
+    from pointnet12_tpu.cli.common import evaluate
+
+    ds = SyntheticModelNet("test", num_point=64, num_classes=4, size=11)
+    feeder = Feeder(ds, batch_size=4, shuffle=False, pad_last=True, prefetch=False)
+    assert len(feeder) == 3  # ceil(11/4), not 11//4
+    model = get_model("pointnet_cls", num_classes=4)
+    state = create_train_state(
+        model, KEY, jnp.asarray(ds[0][0])[None], make_optimizer()
+    )
+    eval_step = make_eval_step(model, task="cls", num_classes=4)
+    out = evaluate(state, eval_step, feeder, 4, "cls")
+    assert float(jnp.sum(jnp.asarray(out["eval_count"]))) == 11
+    # confusion matrix counts exactly the 11 real samples, no padding
+    # (recompute cm total via class_acc path: rows sum to dataset size)
+    cm_total = 0.0
+    for batch in feeder:
+        m = eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        cm_total += float(jnp.sum(m["confusion"]))
+    assert cm_total == 11
+
+
+def test_ignore_class_masks_loss_and_confusion():
+    """Points labeled ignore_class contribute zero loss and are excluded
+    from the confusion matrix (VERDICT missing #4: KITTI unlabeled=0)."""
+    model = get_model("pointnet_seg", num_classes=5)
+    pts = jax.random.uniform(KEY, (2, 64, 3))
+    state = create_train_state(model, KEY, pts, make_optimizer())
+
+    labels = jax.random.randint(KEY, (2, 64), 1, 5)  # all valid
+    labels_mixed = labels.at[:, ::2].set(0)  # half the points ignored
+
+    eval_ig = make_eval_step(model, task="seg", num_classes=5, ignore_class=0)
+    m_all = eval_ig(state, {"points": pts, "label": labels})
+    m_mix = eval_ig(state, {"points": pts, "label": labels_mixed})
+    # ignored points drop out of the count and the confusion matrix
+    assert float(m_mix["count"]) == 64.0 and float(m_all["count"]) == 128.0
+    assert float(jnp.sum(m_mix["confusion"])) == 64.0
+    assert float(jnp.sum(m_mix["confusion"][0])) == 0.0  # no true-class-0 rows
+
+    # training loss with ignore_class equals loss computed on valid points
+    # only: flipping the log-probs at ignored points must not change it
+    train_ig = make_train_step(model, task="seg", num_classes=5, ignore_class=0)
+    _, m1 = train_ig(state, {"points": pts, "label": labels_mixed}, KEY)
+    assert np.isfinite(float(m1["loss"]))
+    # direct check at the loss level
+    logp = jax.nn.log_softmax(jax.random.normal(KEY, (2, 64, 5)))
+    mask = (labels_mixed != 0).astype(jnp.float32)
+    l_masked = losses.segmentation_loss(logp, labels_mixed, mask=mask)
+    # corrupt log-probs at ignored points; masked loss must be unchanged
+    corrupt = jnp.where(mask[..., None] == 0, -100.0, logp)
+    l_corrupt = losses.segmentation_loss(corrupt, labels_mixed, mask=mask)
+    assert abs(float(l_masked) - float(l_corrupt)) < 1e-6
+
+
 def test_sgd_optimizer_runs():
     model = get_model("pointnet_cls", num_classes=4)
     tx = make_optimizer("sgd", learning_rate=1e-2)
@@ -158,3 +226,28 @@ def test_checkpoint_roundtrip(tmp_path):
         restored.params,
     )
     assert int(restored.step) == int(state.step)
+
+
+def test_restore_variables_ignores_optimizer(tmp_path):
+    """Template-free restore: an SGD-trained checkpoint restores in eval/
+    serving paths that build no matching opt_state (ADVICE low #1)."""
+    model = get_model("pointnet_cls", num_classes=4)
+    pts = jax.random.uniform(KEY, (2, 64, 3))
+    state = create_train_state(model, KEY, pts, make_optimizer("sgd"))
+    train_step = make_train_step(model, task="cls", num_classes=4)
+    state, _ = train_step(state, {"points": pts, "label": jnp.asarray([0, 1])}, KEY)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, metrics={"score": 0.5})
+    mgr.wait()
+
+    variables, step = CheckpointManager(str(tmp_path / "ckpt")).restore_variables()
+    assert step == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        dict(state.params),
+        variables["params"],
+    )
+    # restored variables drive an eval-mode forward directly
+    logp, _ = model.apply(variables, pts, train=False)
+    assert logp.shape == (2, 4)
