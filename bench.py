@@ -42,7 +42,12 @@ SHORT, LONG = 2, 12
 
 
 def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
-    """Device seconds per iteration: (t_long - t_short) / (long - short)."""
+    """Device seconds per iteration: (t_long - t_short) / (long - short).
+
+    Returns ``(best, spread)``: best-of-reps marginal plus the relative
+    spread ``(max - min) / median`` across reps, so round-over-round deltas
+    are attributable against the box's ~±20% run-to-run variance.
+    """
     f_short = jax.jit(make_looped(short))
     f_long = jax.jit(make_looped(long))
 
@@ -52,7 +57,7 @@ def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
         return float(jnp.asarray(jax.tree.leaves(out)[0], jnp.float32).ravel()[0])
 
     run(f_short), run(f_long)  # compile + warm
-    best = float("inf")
+    samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
         run(f_short)
@@ -60,8 +65,12 @@ def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
         t0 = time.perf_counter()
         run(f_long)
         t_long = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (long - short))
-    return best
+        samples.append((t_long - t_short) / (long - short))
+    samples.sort()
+    best = samples[0]
+    med = samples[len(samples) // 2]
+    spread = (samples[-1] - samples[0]) / max(med, 1e-12)
+    return best, spread
 
 
 def bench_train_step():
@@ -90,8 +99,8 @@ def bench_train_step():
 
         return run
 
-    sec = _marginal_time(make_looped, state0, batch)
-    return BATCH / sec, sec
+    sec, spread = _marginal_time(make_looped, state0, batch)
+    return BATCH / sec, sec, spread
 
 
 def bench_inference():
@@ -113,7 +122,7 @@ def bench_inference():
 
         return run
 
-    sec = _marginal_time(make_looped, points)
+    sec, _ = _marginal_time(make_looped, points)
     return BATCH / sec, sec
 
 
@@ -150,25 +159,96 @@ def bench_kernels():
 
     # the FPS kernel is ~1 ms/call; stretch the loops so relay jitter
     # (several ms) cannot swamp the marginal difference
-    t_fps = _marginal_time(fps_looped, xyz, new_xyz, short=2, long=42)
-    t_bq = _marginal_time(bq_looped, xyz, new_xyz, short=2, long=22)
+    t_fps, _ = _marginal_time(fps_looped, xyz, new_xyz, short=2, long=42)
+    t_bq, _ = _marginal_time(bq_looped, xyz, new_xyz, short=2, long=22)
     return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6
 
 
-def main():
-    clouds_per_sec, sec_per_step = bench_train_step()
+def verify_kernels():
+    """Compiled-on-TPU kernel correctness at flagship shapes (VERDICT #3).
+
+    Runs each Mosaic-compiled Pallas kernel AND its exact jnp twin on the
+    real chip and counts index mismatches, excluding query rows with any
+    point within fp tolerance of the radius boundary (expansion-form vs
+    direct-form distances legitimately disagree there — same masking as
+    tests/test_kernels.py). Returns a dict of mismatch counts; all-zero
+    means the Mosaic lowering is faithful.
+    """
+    import numpy as np
+
+    from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
+    from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
+    from pointnet12_tpu.kernels.fps_pallas import fps_pallas
+    from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
+    from pointnet12_tpu.ops.ballquery import _ballquery_jnp
+    from pointnet12_tpu.ops.fps import _fps_jnp
+    from pointnet12_tpu.ops.gather import index_points
+    from pointnet12_tpu.ops.interpolate import three_nn
+
+    key = jax.random.PRNGKey(3)
+    xyz = jax.random.uniform(key, (BATCH, NUM_POINT, 3))
+    start = jnp.zeros((BATCH,), jnp.int32)
+    npoint, nsample, radius = 1024, 32, 0.1
+
+    out = {}
+    fps_p = np.asarray(fps_pallas(xyz, npoint, start))
+    fps_j = np.asarray(_fps_jnp(xyz, npoint, start))
+    out["fps"] = int((fps_p != fps_j).sum())
+
+    new_xyz = index_points(xyz, jnp.asarray(fps_j))
+    bq_j = np.asarray(_ballquery_jnp(radius, nsample, xyz, new_xyz))
+    bq_p = np.asarray(ballquery_pallas(radius, nsample, xyz, new_xyz))
+    bq_g = np.asarray(ballquery_grid(radius, nsample, xyz, new_xyz))
+    d2 = np.sum(
+        (np.asarray(new_xyz)[:, :, None, :] - np.asarray(xyz)[:, None]) ** 2,
+        -1,
+    )
+    ok = ~np.any(np.abs(d2 - radius**2) < 1e-5, axis=-1)  # (B, S)
+    out["ballquery"] = int((bq_p != bq_j)[ok].sum())
+    out["ballquery_grid"] = int((bq_g != bq_j)[ok].sum())
+
+    d_j, i_j = three_nn(xyz, new_xyz, impl="jnp")
+    d_p, i_p = three_nn_pallas(xyz, new_xyz)
+    # exclude rows whose 3rd/4th nearest distances are within fp tolerance:
+    # near-ties legitimately flip the returned index order between the two
+    # distance formulations (verified: distance values still agree to 1e-6)
+    dq = np.sum(
+        (np.asarray(xyz)[:, :, None, :] - np.asarray(new_xyz)[:, None]) ** 2,
+        -1,
+    )  # (B, N, M): three_nn finds each xyz point's 3 NN among new_xyz
+    dq = np.sort(dq, axis=-1)[..., :4]
+    gap_ok = (dq[..., 3] - dq[..., 2]) > 1e-6
+    out["three_nn_idx"] = int((np.asarray(i_p) != np.asarray(i_j))[gap_ok].sum())
+    out["three_nn_dist_maxerr"] = float(
+        np.max(np.abs(np.asarray(d_p) - np.asarray(d_j)))
+    )
+    return out
+
+
+def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if "--verify" in argv:  # standalone detailed verification run
+        print(json.dumps({"kernel_verify": verify_kernels()}))
+        return
+
+    clouds_per_sec, sec_per_step, spread = bench_train_step()
     infer_cps, _ = bench_inference()
     fps_us, bq_us = bench_kernels()
+    verify = verify_kernels()
     result = {
         "metric": "clouds/sec/chip PointNet++ SSG semseg fwd+bwd (B=16, N=4096)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / V100_REF_CLOUDS_PER_SEC, 3),
         "step_ms": round(sec_per_step * 1e3, 2),
+        "spread": round(spread, 3),
         "inference_clouds_per_sec": round(infer_cps, 2),
         "fps_us_per_cloud": round(fps_us, 1),
         "ballquery_us_per_cloud": round(bq_us, 1),
         "fps_ballquery_us_per_cloud": round(fps_us + bq_us, 1),
+        "kernel_verify": verify,
         "device": str(jax.devices()[0]),
         "batch": BATCH,
         "num_point": NUM_POINT,

@@ -1,0 +1,77 @@
+"""Capture a jax.profiler trace of the flagship train step and print per-op
+device time, aggregated by HLO op category — the targeting data for kernel
+work. Parses the xplane.pb directly (the tensorboard plugin's converter is
+broken in this env).
+
+Usage:
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+  PYTHONPATH=/root/repo:/root/.axon_site python bench/profile_step.py [out_dir]
+"""
+
+import collections
+import glob
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+
+BATCH, NUM_POINT, NUM_CLASSES, FEAT = 16, 4096, 13, 9
+
+
+def capture(out_dir):
+    from pointnet12_tpu.models import get_model
+    from pointnet12_tpu.train import create_train_state, make_optimizer
+    from pointnet12_tpu.train.loop import build_train_step
+
+    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    key = jax.random.PRNGKey(0)
+    points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT))
+    labels = jax.random.randint(key, (BATCH, NUM_POINT), 0, NUM_CLASSES)
+    batch = {"points": points, "label": labels}
+    tx = make_optimizer("adam", steps_per_epoch=100)
+    state = create_train_state(model, key, points[:1], tx)
+    step = jax.jit(build_train_step(model, task="seg", num_classes=NUM_CLASSES))
+
+    for _ in range(3):  # compile + warm
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["loss"])
+
+    jax.profiler.start_trace(out_dir)
+    for _ in range(3):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    jax.profiler.stop_trace()
+
+
+def parse(out_dir):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
+    assert paths, f"no xplane.pb under {out_dir}"
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        print(f"== plane: {plane.name}")
+        md = {m.id: m.name for m in plane.event_metadata.values()}
+        agg = collections.Counter()
+        cnt = collections.Counter()
+        for line in plane.lines:
+            for ev in line.events:
+                name = md.get(ev.metadata_id, "?")
+                agg[name] += ev.duration_ps / 1e9  # -> ms
+                cnt[name] += 1
+        total = sum(agg.values())
+        print(f"total device event ms (3 steps): {total:.2f}")
+        for name, ms in agg.most_common(60):
+            print(f"{ms:8.3f} ms  x{cnt[name]:<4d} {name[:140]}")
+
+
+if __name__ == "__main__":
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_step"
+    capture(out_dir)
+    parse(out_dir)

