@@ -9,10 +9,15 @@ points of its 27-cell neighborhood.
 Structure:
   * linear cell ids ``id = (cx*G + cy)*G + cz``; queries sorted by id, so a
     tile's query cells span a contiguous id range [lo, hi] and the union of
-    all its 3x3x3 neighborhoods is EXACTLY nine contiguous id ranges
-    ``[lo + ((dx*G+dy)*G) - 1, hi + ((dx*G+dy)*G) + 1]``, (dx,dy) in
-    {-1,0,1}^2. Wraparound ids at grid edges only add false candidates,
-    which the radius test removes.
+    all its 3x3x3 neighborhoods is covered by THREE contiguous id ranges
+    ``[lo + (dx*G - 1)*G - 1, hi + (dx*G + 1)*G + 1]``, dx in {-1,0,1}
+    (each covers the dy in {-1,0,1} sub-ranges plus the id gaps between
+    them — gap cells are same-x-slab points far away in (y, z), removed by
+    the radius test, like wraparound ids at grid edges). Three wide ranges
+    instead of nine narrow ones is what keeps the number of DISTINCT
+    aligned windows under W_MAX: the nine-range variant needed 9-18
+    windows at the flagship shape and fell back to the dense kernel on
+    every cloud.
   * Mosaic only allows 128-aligned dynamic offsets on the lane dimension,
     so the XLA side converts the nine point ranges into the set of DISTINCT
     128-aligned windows of the sorted point array that cover them (padded
@@ -49,8 +54,9 @@ G = 8  # grid resolution per dimension (8^3=512 cells: offset-table work is
 H = G * G * G
 TQ = 8  # queries per tile (== f32 sublane count; bounds the id span)
 TB = 16  # tiles per grid step (TB*TQ = 128 query rows per step)
-W_MAX = 8  # aligned 128-point windows per tile
+W_MAX = 10  # aligned 128-point windows per tile
 WIN = 128  # window width == Mosaic lane alignment
+R_BLK = 4  # max aligned windows a single range may span before fallback
 
 
 def _grid_kernel(
@@ -114,23 +120,26 @@ def _grid_kernel(
 
 
 def _tile_windows(r_start, r_end):
-    """(T, 9) point ranges -> (T, W_MAX) distinct aligned window ids + overflow.
+    """(T, R) point ranges -> (T, W_MAX) distinct aligned window ids + overflow.
 
-    Vectorized over tiles for one cloud; vmapped over batch by the caller.
+    Each range may span up to R_BLK aligned windows (they are ~2G cells
+    wide); all covered window ids are enumerated, deduplicated, and packed
+    into W_MAX slots. Vectorized over tiles for one cloud; vmapped over
+    batch by the caller.
     """
     T = r_start.shape[0]
     nonempty = r_end > r_start
     b_lo = r_start // WIN
     b_hi = jnp.maximum((r_end - 1) // WIN, b_lo)
-    range_overflow = jnp.any(nonempty & (b_hi - b_lo > 1))
+    range_overflow = jnp.any(nonempty & (b_hi - b_lo > R_BLK - 1))
     BIG = jnp.int32(2**30)
     cand = jnp.concatenate(
         [
-            jnp.where(nonempty, b_lo, BIG),
-            jnp.where(nonempty & (b_hi > b_lo), b_hi, BIG),
+            jnp.where(nonempty & (b_lo + j <= b_hi), b_lo + j, BIG)
+            for j in range(R_BLK)
         ],
         axis=1,
-    )  # (T, 18)
+    )  # (T, R * R_BLK)
     cand = jnp.sort(cand, axis=1)
     uniq = jnp.concatenate(
         [jnp.ones((T, 1), bool), cand[:, 1:] != cand[:, :-1]], axis=1
@@ -220,12 +229,10 @@ def ballquery_grid(
 
     tkey = sqkey.reshape(B, T, TQ)
     id_lo, id_hi = tkey[:, :, 0], tkey[:, :, TQ - 1]
-    dxy = jnp.array(
-        [(dx * G + dy) * G for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-        jnp.int32,
-    )
-    c_lo = jnp.clip(id_lo[:, :, None] + dxy - 1, 0, H - 1)  # (B, T, 9)
-    c_hi = jnp.clip(id_hi[:, :, None] + dxy + 1, 0, H - 1)
+    # one contiguous range per dx covering its dy in {-1,0,1} sub-ranges
+    dx_off = jnp.array([dx * G * G for dx in (-1, 0, 1)], jnp.int32)
+    c_lo = jnp.clip(id_lo[:, :, None] + dx_off - G - 1, 0, H - 1)  # (B, T, 3)
+    c_hi = jnp.clip(id_hi[:, :, None] + dx_off + G + 1, 0, H - 1)
     r_start = _take1(offsets, c_lo)
     r_end = _take1(offsets, c_hi + 1)
     max_block = N // WIN - 1  # so off + WIN <= N

@@ -20,10 +20,160 @@ BatchNorm parity notes (SURVEY.md §7 "hard parts"):
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
+
+
+@jax.custom_vjp
+def _lifted_group_dense(pts, q, idx, kernel, bias):
+    """h1_pre[b,s,k] = (pts@kernel + bias)[idx[b,s,k]] - (q@kernel[:3])[b,s].
+
+    Equals dense(concat(p[idx]-q, f[idx])) exactly (fp reassociation aside).
+    The custom VJP exists because the naive gradient materializes
+    dL/dw = scatter_add(g, idx) — a B*S*K-row scatter XLA executes
+    row-serialized (~6.9 ms/step at the flagship shape, profiled). Instead
+    dkernel is computed scatter-free by RE-GATHERING the inputs
+    (dkernel = gather(pts, idx)^T @ g, one ~1 ms gather + a tiny matmul);
+    the scatter survives only inside dpts, which is dead code whenever the
+    layer's input features carry no gradient (SA1: raw points) and XLA
+    eliminates it.
+    """
+    w = jax.lax.dot_general(
+        pts, kernel, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + bias
+    t = jax.lax.dot_general(
+        q, kernel[:3], (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    from pointnet12_tpu.ops.gather import index_points
+
+    return index_points(w, idx) - t[:, :, None, :]
+
+
+def _lifted_group_dense_fwd(pts, q, idx, kernel, bias):
+    return _lifted_group_dense(pts, q, idx, kernel, bias), (pts, q, idx, kernel)
+
+
+def _lifted_group_dense_bwd(res, g):
+    from pointnet12_tpu.ops.gather import index_points
+
+    pts, q, idx, kernel = res
+    B, N, C0 = pts.shape
+    C1 = kernel.shape[1]
+    hp = jax.lax.Precision.HIGHEST
+    gsum_k = jnp.sum(g, axis=2)  # (B, S, C1)
+
+    # scatter-free dkernel: re-gather the per-neighbor inputs
+    gp = index_points(pts, idx)  # (B, S, K, C0)
+    dkernel = jnp.einsum("bskc,bskd->cd", gp, g, precision=hp)
+    dkernel = dkernel.at[:3].add(
+        -jnp.einsum("bsc,bsd->cd", q, gsum_k, precision=hp)
+    )
+    dbias = jnp.sum(g, axis=(0, 1, 2))
+
+    # dpts needs the scatter; dead (and XLA-eliminated) when the input
+    # features carry no gradient (SA1)
+    flat_idx = (
+        idx.reshape(B, -1)
+        + (jnp.arange(B, dtype=idx.dtype) * N)[:, None]
+    ).reshape(-1)
+    dw = (
+        jnp.zeros((B * N, C1), g.dtype)
+        .at[flat_idx]
+        .add(g.reshape(-1, C1))
+        .reshape(B, N, C1)
+    )
+    dpts = jax.lax.dot_general(
+        dw, kernel.T, (((2,), (0,)), ((), ())), precision=hp
+    )
+    dq = -jax.lax.dot_general(
+        gsum_k, kernel[:3].T, (((2,), (0,)), ((), ())), precision=hp
+    )
+    didx = jnp.zeros(idx.shape, jax.dtypes.float0)
+    return dpts, dq, didx, dkernel, dbias
+
+
+_lifted_group_dense.defvjp(_lifted_group_dense_fwd, _lifted_group_dense_bwd)
+
+
+class GroupedSharedMLP(nn.Module):
+    """SharedMLP over ball-query neighborhoods with the FIRST matmul lifted
+    out of the gather (TPU optimization; exact up to fp reassociation).
+
+    The reference computes ``dense_0(concat(p[idx] - q, f[idx]))`` on the
+    grouped ``(B, S, K, 3+D)`` tensor, which needs TWO 512K-row gathers
+    (coordinates + features) plus a matmul over B*S*K rows. Since dense_0
+    is linear, it commutes with the gather:
+
+        h1_pre[s, k] = w[idx[s, k]] - t[s]
+        w = concat(p, f) @ W1 + b1      (dense over the N points, no gather)
+        t = q @ W1[:3]                  (dense over the S centers)
+
+    — ONE gather of (N, C1) rows, and the first matmul shrinks from B*S*K
+    to B*N rows. Gathers are descriptor-bound on v5e (~0.9 ms per 512K rows,
+    profiled), so halving the gather count is the win.
+
+    The xyz-side matmuls run in fp32 with Precision.HIGHEST: the lift
+    computes ``p@W - q@W`` instead of ``(p-q)@W``, and under the default
+    bf16 matmul precision the O(1) absolute rounding of ``p@W`` would
+    swamp the O(radius) local-frame values after cancellation.
+
+    Parameter tree (dense_i / bn_i) is IDENTICAL to SharedMLP, so torch
+    checkpoint import and existing Orbax checkpoints are unaffected.
+    Reference: model/pointnet_util.py::PointNetSetAbstraction (SURVEY.md §2).
+    """
+
+    features: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, feats, new_xyz, group_idx, train: bool = False):
+        pts = (
+            xyz
+            if feats is None
+            else jnp.concatenate([xyz, feats.astype(xyz.dtype)], axis=-1)
+        )
+        dense0 = nn.Dense(
+            self.features[0],
+            name="dense_0",
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )
+        dense0(jnp.zeros((1, pts.shape[-1]), jnp.float32))  # create params
+        kernel = dense0.variables["params"]["kernel"]  # (3+D, C1) fp32
+        bias = dense0.variables["params"]["bias"]
+        x = _lifted_group_dense(
+            pts.astype(jnp.float32),
+            new_xyz.astype(jnp.float32),
+            group_idx,
+            kernel,
+            bias,
+        )
+        x = x.astype(self.dtype)
+
+        for i, width in enumerate(self.features):
+            if i > 0:
+                x = nn.Dense(
+                    width,
+                    name=f"dense_{i}",
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                )(x)
+            # BN compute dtype PINNED to fp32 (see SharedMLP)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                name=f"bn_{i}",
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.relu(x.astype(self.dtype))
+        return x
 
 
 class SharedMLP(nn.Module):

@@ -18,11 +18,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pointnet12_tpu.nn.mlp import SharedMLP
+from pointnet12_tpu.nn.mlp import GroupedSharedMLP, SharedMLP
 from pointnet12_tpu.ops.ballquery import query_ball_point
 from pointnet12_tpu.ops.fps import farthest_point_sample
 from pointnet12_tpu.ops.gather import index_points
-from pointnet12_tpu.ops.grouping import sample_and_group, sample_and_group_all
+from pointnet12_tpu.ops.grouping import sample_and_group_all
 
 
 class SetAbstraction(nn.Module):
@@ -50,17 +50,22 @@ class SetAbstraction(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, feats)
-        else:
-            new_xyz, grouped = sample_and_group(
-                self.npoint,
-                self.radius,
-                self.nsample,
-                xyz,
-                feats,
-                fps_key=fps_key,
-                impl=self.impl,
+            x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+                grouped, train=train
             )
-        x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(grouped, train=train)
+        else:
+            fps_idx = farthest_point_sample(
+                xyz, self.npoint, key=fps_key, impl=self.impl
+            )
+            new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+            group_idx = query_ball_point(
+                self.radius, self.nsample, xyz, new_xyz, impl=self.impl
+            )
+            # lifted first matmul: one gather instead of two, no grouped
+            # (B, S, K, 3+D) input tensor (see GroupedSharedMLP)
+            x = GroupedSharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+                xyz, feats, new_xyz, group_idx, train=train
+            )
         return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
 
 
@@ -94,13 +99,8 @@ class SetAbstractionMSG(nn.Module):
             group_idx = query_ball_point(
                 radius, nsample, xyz, new_xyz, impl=self.impl
             )
-            grouped_xyz = index_points(xyz, group_idx) - new_xyz[:, :, None, :]
-            if feats is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, index_points(feats, group_idx)], axis=-1
-                )
-            else:
-                grouped = grouped_xyz
-            x = SharedMLP(mlp, dtype=self.dtype, name=f"branch_{i}")(grouped, train=train)
+            x = GroupedSharedMLP(mlp, dtype=self.dtype, name=f"branch_{i}")(
+                xyz, feats, new_xyz, group_idx, train=train
+            )
             branch_outs.append(jnp.max(x, axis=2))
         return new_xyz, jnp.concatenate(branch_outs, axis=-1)
