@@ -183,6 +183,14 @@ def run_training(args, task: str):
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s", profile_dir)
 
+        if getattr(args, "precise_bn", 0):
+            # replace EMA running stats with exact pooled statistics before
+            # eval (fixes bf16's EMA-lag eval collapse; see train/precise_bn)
+            from pointnet12_tpu.train import recompute_batch_stats
+
+            state = recompute_batch_stats(
+                state, train_feeder, args.precise_bn, rng
+            )
         eval_metrics = evaluate(
             state, eval_step, test_feeder, num_classes, task, mesh,
             ignore_class=ignore_class,
@@ -281,8 +289,12 @@ def add_common_args(parser, task: str):
     parser.add_argument("--debug_nans", action="store_true",
                         help="fail at the first NaN-producing op")
     parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 activations (EXPERIMENTAL: eval-quality "
-                             "regression observed; params/BN stats stay fp32)")
+                        help="bfloat16 activations (params/BN stats stay fp32; "
+                             "combine with --precise_bn to keep eval quality)")
+    parser.add_argument("--precise_bn", type=int, default=0, metavar="N",
+                        help="before each eval, replace BN running stats with "
+                             "exact pooled statistics over N training batches "
+                             "(fixes bf16 EMA-lag eval collapse)")
     parser.add_argument("--class_weights", action="store_true",
                         help="inverse-frequency class weights in the seg loss")
     if task == "seg":

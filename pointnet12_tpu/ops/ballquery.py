@@ -68,9 +68,12 @@ def query_ball_point(
         from pointnet12_tpu.kernels import dispatch
 
         if dispatch.pallas_enabled():
-            # the grid kernel's sort/offset prep costs ~2 ms; it beats the
-            # dense Theta(S*N*K) scan only for large clouds (measured
-            # crossover ~N=6k on v5e at S=1024, K=32)
+            # grid v2 wins STANDALONE at N=4096 (3.56 vs 4.51 ms at
+            # B=16/S=1024/K=32, no fallbacks), but inside the full train
+            # step its XLA prep (sorts/gathers/binary search) serializes
+            # against the rest of the program and costs +5.6 ms net
+            # (measured) — so the in-model dispatch keeps dense until
+            # N=8192 where the Theta(S*N*K) scan dominates any prep
             impl = (
                 "grid"
                 if (N >= 8192 and N % 128 == 0 and S % 128 == 0)

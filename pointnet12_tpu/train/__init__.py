@@ -9,6 +9,7 @@ from pointnet12_tpu.train.loop import (
 from pointnet12_tpu.train.optim import make_optimizer
 from pointnet12_tpu.train import losses, metrics
 from pointnet12_tpu.train.checkpoint import CheckpointManager
+from pointnet12_tpu.train.precise_bn import recompute_batch_stats
 
 __all__ = [
     "TrainState",
@@ -19,4 +20,5 @@ __all__ = [
     "losses",
     "metrics",
     "CheckpointManager",
+    "recompute_batch_stats",
 ]

@@ -200,6 +200,80 @@ def test_sgd_optimizer_runs():
     assert int(state2.step) == 1 and np.isfinite(float(m["loss"]))
 
 
+def test_precise_bn_single_batch_matches_train_mode():
+    """With stats recomputed over exactly one batch, eval-mode BN uses that
+    batch's statistics — so eval-mode outputs must equal train-mode outputs
+    on the same batch (dropout disabled). This pins the EMA-recovery and
+    pooled-moment math in train/precise_bn.py."""
+    from pointnet12_tpu.train import recompute_batch_stats
+
+    model = get_model("pointnet_cls", num_classes=4, dropout_rate=0.0)
+    pts = jax.random.uniform(KEY, (8, 128, 3))
+    state = create_train_state(model, KEY, pts, make_optimizer())
+
+    class OneBatch:
+        def __iter__(self):
+            yield {"points": np.asarray(pts), "label": np.zeros(8, np.int64)}
+
+    state2 = recompute_batch_stats(state, OneBatch(), num_batches=1)
+    (want, _), _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        pts, train=True, mutable=["batch_stats"],
+        rngs={"dropout": KEY},
+    )
+    got, _ = model.apply(
+        {"params": state2.params, "batch_stats": state2.batch_stats},
+        pts, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_precise_bn_pools_two_batches():
+    """Pooled variance over two batches follows the law of total variance
+    (checked on the first BN layer against directly computed statistics)."""
+    from pointnet12_tpu.train import recompute_batch_stats
+
+    model = get_model("pointnet_cls", num_classes=4, dropout_rate=0.0)
+    rng = np.random.RandomState(0)
+    b1 = rng.randn(8, 128, 3).astype(np.float32)
+    b2 = (2.0 * rng.randn(8, 128, 3) + 1.0).astype(np.float32)
+    state = create_train_state(model, KEY, jnp.asarray(b1), make_optimizer())
+
+    class TwoBatches:
+        def __iter__(self):
+            yield {"points": b1, "label": np.zeros(8, np.int64)}
+            yield {"points": b2, "label": np.zeros(8, np.int64)}
+
+    state2 = recompute_batch_stats(state, TwoBatches(), num_batches=2)
+
+    # ground truth for the encoder's first BN: statistics of conv1 outputs
+    # captured in TRAIN mode (matching how recompute_batch_stats collects —
+    # upstream BNs normalize with batch statistics there)
+    def pre_bn1(pts):
+        _, st = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(pts), train=True,
+            mutable=["batch_stats", "intermediates"],
+            rngs={"dropout": KEY},
+            capture_intermediates=lambda mdl, _: mdl.name == "conv1",
+        )
+        return st["intermediates"]["feat"]["conv1"]["__call__"][0]
+
+    acts = [np.asarray(pre_bn1(b)).reshape(-1, 64) for b in (b1, b2)]
+    means = [a.mean(0) for a in acts]
+    varis = [a.var(0) for a in acts]
+    want_mean = (means[0] + means[1]) / 2
+    want_var = (
+        (varis[0] + means[0] ** 2 + varis[1] + means[1] ** 2) / 2
+        - want_mean**2
+    )
+    got = state2.batch_stats["feat"]["conv1_bn"]
+    np.testing.assert_allclose(np.asarray(got["mean"]), want_mean, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["var"]), want_var, rtol=1e-3, atol=1e-4)
+
+
 # ------------------------------------------------------------- checkpoints
 
 
