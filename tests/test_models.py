@@ -33,6 +33,34 @@ def test_forward_shapes_and_logprobs(name, shape, nc, rank):
     )
 
 
+@pytest.mark.parametrize("name,shape,nc,rank", CASES)
+def test_backward_finite_all_models(name, shape, nc, rank):
+    """Gradients flow through every model (incl. the lifted-first-matmul
+    custom VJP in SSG and MSG SA layers) and are finite."""
+    model = get_model(name, num_classes=nc)
+    pts = jax.random.uniform(KEY, shape)
+    variables = model.init({"params": KEY}, pts, train=False)
+    labels = (
+        jnp.zeros(shape[0], jnp.int32)
+        if rank == 2
+        else jnp.zeros(shape[:2], jnp.int32)
+    )
+
+    def loss_fn(params):
+        (logp, _), _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            pts, train=True, mutable=["batch_stats"],
+            rngs={"dropout": KEY},
+        )
+        picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)
+        return -jnp.mean(picked)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_registry_aliases():
     assert type(get_model("pointnet")).__name__ == "PointNetCls"
     assert type(get_model("pointnet2")).__name__ == "PointNet2ClsSSG"
