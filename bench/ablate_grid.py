@@ -42,7 +42,7 @@ def loop(fn):
 
 def main():
     from pointnet12_tpu.kernels.ballquery_grid import (
-        _searchsorted_all_cells, _take1, _tile_windows, ballquery_grid,
+        _cell_offsets, _take1, ballquery_grid,
     )
     from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
     from pointnet12_tpu.ops.gather import index_points
@@ -73,10 +73,10 @@ def main():
         loop(lambda k, acc: jnp.sort(k + dep(acc), axis=1)[0, 0]), ckey
     )
     print("sort_vals_N", out["sort_vals_N_ms"], flush=True)
-    out["searchsorted_ms"] = marginal(
-        loop(lambda s, acc: _searchsorted_all_cells(s + dep(acc), N)[0, 0]), skey
+    out["cell_offsets_ms"] = marginal(
+        loop(lambda s, acc: _cell_offsets(s + dep(acc))[0, 0]), skey
     )
-    print("searchsorted", out["searchsorted_ms"], flush=True)
+    print("cell_offsets", out["cell_offsets_ms"], flush=True)
     out["grid_total_ms"] = marginal(
         loop(lambda x, q, acc: ballquery_grid(RADIUS, K, x + acc * 0, q)[0, 0, 0]),
         xyz, new_xyz,

@@ -1,40 +1,41 @@
-"""Grid-accelerated ball query: voxel binning + aligned-window scanning.
+"""Grid-accelerated ball query: voxel binning + aligned-window scanning (v3).
 
 The dense kernel (ballquery_pallas) is Theta(S*N*K) VPU-bound — every query
 scans every point. This version bins points into a G^3 voxel grid with cell
-size >= radius and counting-sorts them by cell id (all XLA, outside the
-kernel), so each tile of TQ spatially-adjacent queries only scans the
-points of its 27-cell neighborhood.
+size >= radius and sorts them by cell id (all XLA, outside the kernel), so
+each tile of TQ spatially-adjacent queries only scans the points of its
+27-cell neighborhood.
 
-Structure:
+v3 design — what changed vs v2 and why. v2 computed, per query tile, the
+set of DISTINCT 128-aligned windows covering its neighborhood (sort + dedup
++ compaction + scatter on the XLA side) and a binary-search offsets table.
+That prep was a ~20-op serialized XLA chain costing more inside the train
+step than the kernel saved (measured +5.6 ms net at B=16, N=4096). v3
+deletes all of it using one observation: **reading extra windows is always
+correct** — every candidate is subjected to the exact radius test, and any
+point outside the true 27-neighborhood cannot pass it (cell size >= radius
+makes non-adjacent cells >= radius apart). So:
+
   * linear cell ids ``id = (cx*G + cy)*G + cz``; queries sorted by id, so a
-    tile's query cells span a contiguous id range [lo, hi] and the union of
-    all its 3x3x3 neighborhoods is covered by THREE contiguous id ranges
-    ``[lo + (dx*G - 1)*G - 1, hi + (dx*G + 1)*G + 1]``, dx in {-1,0,1}
-    (each covers the dy in {-1,0,1} sub-ranges plus the id gaps between
-    them — gap cells are same-x-slab points far away in (y, z), removed by
-    the radius test, like wraparound ids at grid edges). Three wide ranges
-    instead of nine narrow ones is what keeps the number of DISTINCT
-    aligned windows under W_MAX: the nine-range variant needed 9-18
-    windows at the flagship shape and fell back to the dense kernel on
-    every cloud.
-  * Mosaic only allows 128-aligned dynamic offsets on the lane dimension,
-    so the XLA side converts the nine point ranges into the set of DISTINCT
-    128-aligned windows of the sorted point array that cover them (padded
-    to W_MAX by repeating the first window — duplicates are harmless, see
-    below). The kernel reads W_MAX aligned (3, 128) slices per tile; any
-    covered point outside the true neighborhood fails the radius test.
-  * Each grid step processes TB tiles and stacks their candidates into one
-    (TB*TQ, W_MAX*WIN) matrix so the K extraction passes run at full VPU
-    width once per step instead of once per tile.
-  * Exactness: candidates carry ORIGINAL indices; selection is K passes of
+    tile's query cells span [lo, hi] and its full 3x3x3 neighborhood is
+    covered by THREE contiguous id ranges ``[lo + dx*G^2 - G - 1,
+    hi + dx*G^2 + G + 1]``, dx in {-1,0,1} (the id gaps inside each range
+    are same-x-slab cells far away in (y, z) — removed by the radius test).
+  * each range maps to R_W CONSECUTIVE aligned windows starting at
+    ``r_start // WIN`` — no dedup, no compaction, no per-window list. The
+    only prep per tile is THREE ints. If a range really spans more than R_W
+    windows (degenerate clustering), the whole call falls back to the dense
+    kernel via ``lax.cond`` — same results, just slower.
+  * the offsets table (first sorted position of each cell id) is ONE fused
+    XLA compare-reduce over the sorted keys — O(H*N) brute force beats both
+    ``jnp.searchsorted`` (8 ms lowering) and the hand-rolled binary search
+    (12 serialized gather rounds) because it is a single fusion.
+  * exactness: candidates carry ORIGINAL indices; selection is K passes of
     masked-min over ``score = where(in_radius, orig_idx, N)`` with
     value-retirement — which extracts ascending original indices AND
-    retires all duplicate copies of a candidate at once, reproducing
-    first-K-by-index + pad-with-first semantics bit-for-bit.
-  * If a tile needs more than W_MAX windows or a single range spans more
-    than two windows (degenerate clustering), the whole call falls back to
-    the dense kernel via ``lax.cond`` — same results, just slower.
+    retires all duplicate copies of a candidate at once, reproducing the
+    reference's first-K-by-index + pad-with-first semantics bit-for-bit
+    (model/pointnet_util.py::query_ball_point, SURVEY.md §2).
 """
 
 import functools
@@ -48,15 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
 from pointnet12_tpu.ops.gather import index_points
 
-G = 8  # grid resolution per dimension (8^3=512 cells: offset-table work is
-#        8x cheaper than 16^3 while the kernel's candidate budget is
-#        unchanged — coarser cells only add radius-filtered false candidates)
+G = 8  # grid resolution per dimension (8^3 = 512 cells)
 H = G * G * G
 TQ = 8  # queries per tile (== f32 sublane count; bounds the id span)
 TB = 16  # tiles per grid step (TB*TQ = 128 query rows per step)
-W_MAX = 10  # aligned 128-point windows per tile
 WIN = 128  # window width == Mosaic lane alignment
-R_BLK = 4  # max aligned windows a single range may span before fallback
+R_W = 4  # consecutive aligned windows read per dx-range (3 ranges/tile)
 
 
 def _grid_kernel(
@@ -73,26 +71,28 @@ def _grid_kernel(
         qxs.append(qt[0:1, :].reshape(TQ, 1))
         qys.append(qt[1:2, :].reshape(TQ, 1))
         qzs.append(qt[2:3, :].reshape(TQ, 1))
-        base = (b * n_tiles + tb * TB + tt) * W_MAX
+        base = (b * n_tiles + tb * TB + tt) * 3
         xs, ys, zs, oo = [], [], [], []
-        for w in range(W_MAX):
-            off = pl.multiple_of(blocks_ref[base + w] * WIN, WIN)
-            pj = p_ref[0, :, pl.ds(off, WIN)]  # (3, WIN)
-            xs.append(pj[0:1, :])
-            ys.append(pj[1:2, :])
-            zs.append(pj[2:3, :])
-            oo.append(oidx_ref[0, 0:1, pl.ds(off, WIN)])
-        cxs.append(jnp.concatenate(xs, axis=1))  # (1, W_MAX*WIN)
+        for rr in range(3):
+            blk = blocks_ref[base + rr]
+            for j in range(R_W):
+                off = pl.multiple_of((blk + j) * WIN, WIN)
+                pj = p_ref[0, :, pl.ds(off, WIN)]  # (3, WIN)
+                xs.append(pj[0:1, :])
+                ys.append(pj[1:2, :])
+                zs.append(pj[2:3, :])
+                oo.append(oidx_ref[0, 0:1, pl.ds(off, WIN)])
+        cxs.append(jnp.concatenate(xs, axis=1))  # (1, 3*R_W*WIN)
         cys.append(jnp.concatenate(ys, axis=1))
         czs.append(jnp.concatenate(zs, axis=1))
         ois.append(jnp.concatenate(oo, axis=1))
 
-    # stack TB tiles: queries (TB*TQ, 1), candidates (TB, W*WIN) broadcast
-    # per-tile -> interleave via kron-style expansion
+    # stack TB tiles: queries (TB*TQ, 1), per-tile candidates broadcast to
+    # their TQ query rows
     qx = jnp.concatenate(qxs, axis=0)  # (TB*TQ, 1)
     qy = jnp.concatenate(qys, axis=0)
     qz = jnp.concatenate(qzs, axis=0)
-    cw = W_MAX * WIN
+    cw = 3 * R_W * WIN
     cx = jnp.concatenate(
         [jnp.broadcast_to(c, (TQ, cw)) for c in cxs], axis=0
     )  # (TB*TQ, cw)
@@ -119,64 +119,15 @@ def _grid_kernel(
     out_ref[0] = jnp.where(out == n_total, first, out)
 
 
-def _tile_windows(r_start, r_end):
-    """(T, R) point ranges -> (T, W_MAX) distinct aligned window ids + overflow.
-
-    Each range may span up to R_BLK aligned windows (they are ~2G cells
-    wide); all covered window ids are enumerated, deduplicated, and packed
-    into W_MAX slots. Vectorized over tiles for one cloud; vmapped over
-    batch by the caller.
-    """
-    T = r_start.shape[0]
-    nonempty = r_end > r_start
-    b_lo = r_start // WIN
-    b_hi = jnp.maximum((r_end - 1) // WIN, b_lo)
-    range_overflow = jnp.any(nonempty & (b_hi - b_lo > R_BLK - 1))
-    BIG = jnp.int32(2**30)
-    cand = jnp.concatenate(
-        [
-            jnp.where(nonempty & (b_lo + j <= b_hi), b_lo + j, BIG)
-            for j in range(R_BLK)
-        ],
-        axis=1,
-    )  # (T, R * R_BLK)
-    cand = jnp.sort(cand, axis=1)
-    uniq = jnp.concatenate(
-        [jnp.ones((T, 1), bool), cand[:, 1:] != cand[:, :-1]], axis=1
-    ) & (cand < BIG)
-    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1  # position if kept
-    n_uniq = jnp.max(rank, axis=1) + 1  # distinct windows per tile
-    count_overflow = jnp.any(n_uniq > W_MAX)
-    # scatter kept blocks into W_MAX slots, pad with slot 0's value
-    slot = jnp.where(uniq, jnp.minimum(rank, W_MAX - 1), W_MAX)  # W_MAX = drop
-    out = jnp.zeros((T, W_MAX + 1), jnp.int32)
-    out = jax.vmap(lambda o, s, c: o.at[s].set(c, mode="drop"))(
-        out, slot, cand
-    )[:, :W_MAX]
-    first = out[:, :1]
-    pad = lax.broadcasted_iota(jnp.int32, (T, W_MAX), 1) >= n_uniq[:, None]
-    out = jnp.where(pad, first, out)
-    out = jnp.where((n_uniq[:, None] <= 0), 0, out)
-    return out, range_overflow | count_overflow
-
-
-def _searchsorted_all_cells(skey: jnp.ndarray, n: int) -> jnp.ndarray:
+def _cell_offsets(skey: jnp.ndarray) -> jnp.ndarray:
     """offsets[b, c] = first position in sorted skey[b] with value >= c,
-    for all c in [0, H]. Hand-rolled binary search over the batched fast
-    gather — XLA's jnp.searchsorted lowering cost 8 ms at (16, 4096) on
-    v5e; this is <1 ms."""
-    B = skey.shape[0]
-    c_range = jnp.arange(H + 1, dtype=jnp.int32)[None, :]  # (1, H+1)
-    lo = jnp.zeros((B, H + 1), jnp.int32)
-    hi = jnp.full((B, H + 1), n, jnp.int32)
-    for _ in range((n + 1).bit_length()):
-        mid = (lo + hi) // 2
-        v = _take1(skey, jnp.minimum(mid, n - 1))
-        # mid == n means the probe is past the end: never move right
-        go_right = (v < c_range) & (mid < n)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
+    for all c in [0, H]. One fused brute-force compare-reduce: O(B*H*N)
+    compares but a SINGLE XLA fusion, vs 12 serialized gather rounds for a
+    binary search (~0.5 ms) or jnp.searchsorted's 8 ms lowering on v5e."""
+    c_range = jnp.arange(H + 1, dtype=jnp.int32)
+    return jnp.sum(
+        (skey[:, None, :] < c_range[None, :, None]).astype(jnp.int32), axis=-1
+    )
 
 
 def _take1(arr2d, idx2d):
@@ -200,15 +151,16 @@ def ballquery_grid(
     """Exact ball query via voxel binning. Same contract as ballquery_pallas."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    if S % (TQ * TB) != 0 or N % WIN != 0:
+    if S % (TQ * TB) != 0 or N % WIN != 0 or N < R_W * WIN:
         return ballquery_pallas(
             radius, nsample, xyz, new_xyz, interpret=interpret
         )
     T = S // TQ
+    n_blocks = N // WIN
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
 
-    # ---- XLA side: bin, sort, offsets, per-tile windows ------------------
+    # ---- XLA side: bin, sort, offsets, per-tile window bases --------------
     lo = jnp.min(xyz, axis=1, keepdims=True)
     hi = jnp.max(xyz, axis=1, keepdims=True)
     extent = jnp.max(hi - lo, axis=-1, keepdims=True)
@@ -219,7 +171,7 @@ def ballquery_grid(
     skey = _take1(key, perm)
     sp = index_points(xyz, perm)  # sorted points (fast flat gather)
 
-    offsets = _searchsorted_all_cells(skey, N)  # (B, H+1)
+    offsets = _cell_offsets(skey)  # (B, H+1)
 
     qcell = jnp.clip(jnp.floor((new_xyz - lo) / g).astype(jnp.int32), 0, G - 1)
     qkey = (qcell[..., 0] * G + qcell[..., 1]) * G + qcell[..., 2]
@@ -229,17 +181,21 @@ def ballquery_grid(
 
     tkey = sqkey.reshape(B, T, TQ)
     id_lo, id_hi = tkey[:, :, 0], tkey[:, :, TQ - 1]
-    # one contiguous range per dx covering its dy in {-1,0,1} sub-ranges
+    # one contiguous range per dx covering its dy/dz in {-1,0,1} sub-ranges
     dx_off = jnp.array([dx * G * G for dx in (-1, 0, 1)], jnp.int32)
     c_lo = jnp.clip(id_lo[:, :, None] + dx_off - G - 1, 0, H - 1)  # (B, T, 3)
     c_hi = jnp.clip(id_hi[:, :, None] + dx_off + G + 1, 0, H - 1)
     r_start = _take1(offsets, c_lo)
     r_end = _take1(offsets, c_hi + 1)
-    max_block = N // WIN - 1  # so off + WIN <= N
 
-    blocks, overflow = jax.vmap(_tile_windows)(r_start, r_end)
-    overflow = jnp.any(overflow)
-    blocks = jnp.minimum(blocks, max_block)
+    # R_W consecutive windows from b_lo cover the range iff b_hi fits;
+    # clamping b_lo down only ever ADDS earlier (harmless) windows, and at
+    # the top clamp the covered span ends at n_blocks-1 >= any b_hi.
+    b_lo = jnp.clip(r_start // WIN, 0, n_blocks - R_W)
+    b_hi = jnp.maximum((r_end - 1) // WIN, 0)
+    nonempty = r_end > r_start
+    overflow = jnp.any(nonempty & (b_hi > b_lo + (R_W - 1)))
+    blocks = b_lo  # (B, T, 3)
 
     spT = jnp.transpose(sp, (0, 2, 1))  # (B, 3, N)
     sq_tiles = jnp.transpose(sq, (0, 2, 1)).reshape(B, 3, T, TQ)

@@ -75,17 +75,14 @@ def _lifted_group_dense_bwd(res, g):
     )
     dbias = jnp.sum(g, axis=(0, 1, 2))
 
-    # dpts needs the scatter; dead (and XLA-eliminated) when the input
-    # features carry no gradient (SA1)
-    flat_idx = (
-        idx.reshape(B, -1)
-        + (jnp.arange(B, dtype=idx.dtype) * N)[:, None]
-    ).reshape(-1)
-    dw = (
-        jnp.zeros((B * N, C1), g.dtype)
-        .at[flat_idx]
-        .add(g.reshape(-1, C1))
-        .reshape(B, N, C1)
+    # dpts needs the transpose-gather; dead (and XLA-eliminated) when the
+    # input features carry no gradient (SA1). Scatter-free via the one-hot
+    # MXU contraction (ops/segsum.py) — XLA's scatter-add is row-serialized
+    # (0.89 ms/step for SA2 alone at the flagship shape, profiled).
+    from pointnet12_tpu.ops.segsum import segment_matmul
+
+    dw = segment_matmul(
+        idx.reshape(B, 1, -1), None, g.reshape(B, -1, C1), N
     )
     dpts = jax.lax.dot_general(
         dw, kernel.T, (((2,), (0,)), ((), ())), precision=hp

@@ -26,6 +26,14 @@ from jax import lax
 
 from pointnet12_tpu.ops.distance import square_distance
 
+# Minimum N for the voxel-grid kernel under impl="auto" (module-level so
+# benchmarks can sweep the crossover without editing the dispatch). Grid v3
+# (three fixed window-ranges per tile, no XLA-side window prep) wins inside
+# the train step from N=4096 up: 19.48 vs 20.88 ms/step at the flagship
+# shape, same-process A/B. v2's prep chain lost here — see
+# kernels/ballquery_grid.py docstring.
+GRID_MIN_N = 4096
+
 
 def _ballquery_jnp(
     radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
@@ -68,15 +76,9 @@ def query_ball_point(
         from pointnet12_tpu.kernels import dispatch
 
         if dispatch.pallas_enabled():
-            # grid v2 wins STANDALONE at N=4096 (3.56 vs 4.51 ms at
-            # B=16/S=1024/K=32, no fallbacks), but inside the full train
-            # step its XLA prep (sorts/gathers/binary search) serializes
-            # against the rest of the program and costs +5.6 ms net
-            # (measured) — so the in-model dispatch keeps dense until
-            # N=8192 where the Theta(S*N*K) scan dominates any prep
             impl = (
                 "grid"
-                if (N >= 8192 and N % 128 == 0 and S % 128 == 0)
+                if (N >= GRID_MIN_N and N % 128 == 0 and S % 128 == 0)
                 else "pallas"
             )
         else:

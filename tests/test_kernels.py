@@ -194,3 +194,64 @@ def test_ballquery_pallas_small_s(clouds):
     )
     ok = ~np.any(np.abs(d2 - RADIUS**2) < 1e-5, axis=-1)
     np.testing.assert_array_equal(got[ok], want[ok])
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        dict(B=2, J=1, R=256, C=64, M=128),   # SA dpts shape class
+        dict(B=2, J=3, R=96, C=32, M=64),     # FP dref shape class
+        dict(B=1, J=1, R=512, C=16, M=256),   # multi m-tile
+        dict(B=2, J=3, R=40, C=8, M=16),      # tiny M (< 128), odd R chunk
+    ],
+)
+def test_segment_matmul_pallas_matches_jnp(shape):
+    """One-hot MXU segment-matmul == scatter-add reference, both weighted
+    and unweighted."""
+    from pointnet12_tpu.kernels.segsum_pallas import segment_matmul_pallas
+    from pointnet12_tpu.ops.segsum import _segment_matmul_jnp
+
+    B, J, R, C, M = (shape[k] for k in ("B", "J", "R", "C", "M"))
+    rng = np.random.RandomState(11)
+    idx = jnp.asarray(rng.randint(0, M, size=(B, J, R)).astype(np.int32))
+    w = jnp.asarray(rng.uniform(-1, 1, size=(B, J, R)).astype(np.float32))
+    vals = jnp.asarray(rng.uniform(-1, 1, size=(B, R, C)).astype(np.float32))
+    for weights in (w, None):
+        want = np.asarray(_segment_matmul_jnp(idx, weights, vals, M))
+        got = np.asarray(
+            segment_matmul_pallas(idx, weights, vals, M, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_three_interpolate_custom_vjp_matches_autodiff():
+    """The scatter-free backward (segment-matmul d ref_feats + analytic
+    d dists) must equal plain autodiff of the interpolation formula."""
+    import jax
+
+    from pointnet12_tpu.ops.gather import index_points
+    from pointnet12_tpu.ops.interpolate import three_interpolate, three_nn
+
+    rng = np.random.RandomState(13)
+    fine = jnp.asarray(rng.uniform(size=(2, 64, 3)).astype(np.float32))
+    coarse = jnp.asarray(rng.uniform(size=(2, 16, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.uniform(size=(2, 16, 8)).astype(np.float32))
+    dists, idx = three_nn(fine, coarse, impl="jnp")
+
+    def plain(f, d):
+        w = 1.0 / (d + 1e-8)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return jnp.sum(index_points(f, idx) * w[..., None], axis=2)
+
+    def loss_custom(f, d):
+        return jnp.sum(jnp.sin(three_interpolate(f, idx, d)))
+
+    def loss_plain(f, d):
+        return jnp.sum(jnp.sin(plain(f, d)))
+
+    gf_c, gd_c = jax.grad(loss_custom, argnums=(0, 1))(feats, dists)
+    gf_p, gd_p = jax.grad(loss_plain, argnums=(0, 1))(feats, dists)
+    np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_p), rtol=2e-5, atol=2e-6)
+    # d dists runs through 1/(d+1e-8)^2 — magnitudes near 1e16 when a fine
+    # point coincides with a coarse one — so reassociation noise is larger
+    np.testing.assert_allclose(np.asarray(gd_c), np.asarray(gd_p), rtol=2e-4, atol=1e-3)
