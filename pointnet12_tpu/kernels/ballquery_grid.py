@@ -1,4 +1,4 @@
-"""Grid-accelerated ball query: voxel binning + aligned-window scanning (v3).
+"""Grid-accelerated ball query: voxel binning + aligned-window scanning (v4).
 
 The dense kernel (ballquery_pallas) is Theta(S*N*K) VPU-bound — every query
 scans every point. This version bins points into a G^3 voxel grid with cell
@@ -6,26 +6,34 @@ size >= radius and sorts them by cell id (all XLA, outside the kernel), so
 each tile of TQ spatially-adjacent queries only scans the points of its
 27-cell neighborhood.
 
-v3 design — what changed vs v2 and why. v2 computed, per query tile, the
-set of DISTINCT 128-aligned windows covering its neighborhood (sort + dedup
-+ compaction + scatter on the XLA side) and a binary-search offsets table.
-That prep was a ~20-op serialized XLA chain costing more inside the train
-step than the kernel saved (measured +5.6 ms net at B=16, N=4096). v3
-deletes all of it using one observation: **reading extra windows is always
-correct** — every candidate is subjected to the exact radius test, and any
-point outside the true 27-neighborhood cannot pass it (cell size >= radius
-makes non-adjacent cells >= radius apart). So:
+Design (v3 -> v4 evolution):
+  * v2 computed, per query tile, the set of DISTINCT 128-aligned windows
+    covering its neighborhood (sort + dedup + compaction + scatter on the
+    XLA side) and a binary-search offsets table. That prep was a ~20-op
+    serialized XLA chain costing more inside the train step than the kernel
+    saved (measured +5.6 ms net at B=16, N=4096).
+  * v3 deleted all of it using one observation: **reading extra windows is
+    always correct** — every candidate is subjected to the exact radius
+    test, and any point outside the true 27-neighborhood cannot pass it
+    (cell size >= radius makes non-adjacent cells >= radius apart). Each
+    dx-range reads R_W CONSECUTIVE aligned windows from ``r_start // WIN``;
+    the only prep per tile is three ints. Ranges that spanned more than R_W
+    windows fell back to the dense kernel for the WHOLE call via
+    ``lax.cond``.
+  * v4 makes the fallback PER-TILE and in-kernel: tiles whose ranges fit
+    R_W windows take the narrow path; overflowing tiles rescan the full
+    VMEM-resident point array inside the same kernel (``pl.when``), so
+    results stay exact for any clustering while the common case pays only
+    the 3*R_W*WIN-candidate scan. This removes the ``lax.cond`` (an XLA
+    scheduling barrier) and lets R_W shrink from 4 to 3 — the K extraction
+    passes dominate kernel time and scale with candidate width.
 
+Structure:
   * linear cell ids ``id = (cx*G + cy)*G + cz``; queries sorted by id, so a
     tile's query cells span [lo, hi] and its full 3x3x3 neighborhood is
     covered by THREE contiguous id ranges ``[lo + dx*G^2 - G - 1,
     hi + dx*G^2 + G + 1]``, dx in {-1,0,1} (the id gaps inside each range
     are same-x-slab cells far away in (y, z) — removed by the radius test).
-  * each range maps to R_W CONSECUTIVE aligned windows starting at
-    ``r_start // WIN`` — no dedup, no compaction, no per-window list. The
-    only prep per tile is THREE ints. If a range really spans more than R_W
-    windows (degenerate clustering), the whole call falls back to the dense
-    kernel via ``lax.cond`` — same results, just slower.
   * the offsets table (first sorted position of each cell id) is ONE fused
     XLA compare-reduce over the sorted keys — O(H*N) brute force beats both
     ``jnp.searchsorted`` (8 ms lowering) and the hand-rolled binary search
@@ -54,15 +62,35 @@ H = G * G * G
 TQ = 8  # queries per tile (== f32 sublane count; bounds the id span)
 TB = 16  # tiles per grid step (TB*TQ = 128 query rows per step)
 WIN = 128  # window width == Mosaic lane alignment
-R_W = 4  # consecutive aligned windows read per dx-range (3 ranges/tile)
+R_W = 3  # consecutive aligned windows read per dx-range (3 ranges/tile)
+
+
+def _extract_first_k(score, nsample, n_total, rows):
+    """K passes of masked-min with value retirement: ascending original
+    indices, pad-with-first, duplicate copies retired at once."""
+    iota_k = lax.broadcasted_iota(jnp.int32, (rows, nsample), 1)
+
+    def body(k, carry):
+        score, out = carry
+        w = jnp.min(score, axis=1, keepdims=True)
+        out = jnp.where(iota_k == k, w, out)
+        score = jnp.where(score == w, n_total, score)
+        return score, out
+
+    _, out = lax.fori_loop(
+        0, nsample, body, (score, jnp.zeros((rows, nsample), jnp.int32))
+    )
+    first = out[:, :1]
+    return jnp.where(out == n_total, first, out)
 
 
 def _grid_kernel(
-    blocks_ref, q_ref, p_ref, oidx_ref, out_ref,
+    blocks_ref, ovf_ref, q_ref, p_ref, oidx_ref, out_ref,
     *, radius, nsample, n_total, n_tiles,
 ):
     b = pl.program_id(0)
     tb = pl.program_id(1)
+    r2 = radius * radius
 
     qxs, qys, qzs = [], [], []
     cxs, cys, czs, ois = [], [], [], []
@@ -102,21 +130,35 @@ def _grid_kernel(
 
     rows = TB * TQ
     d2 = (qx - cx) ** 2 + (qy - cy) ** 2 + (qz - cz) ** 2  # (rows, cw)
-    score = jnp.where(d2 <= radius * radius, oi, n_total)
-    iota_k = lax.broadcasted_iota(jnp.int32, (rows, nsample), 1)
+    score = jnp.where(d2 <= r2, oi, n_total)
+    out_ref[0] = _extract_first_k(score, nsample, n_total, rows)
 
-    def body(k, carry):
-        score, out = carry
-        w = jnp.min(score, axis=1, keepdims=True)
-        out = jnp.where(iota_k == k, w, out)
-        score = jnp.where(score == w, n_total, score)  # retires duplicates too
-        return score, out
+    # per-tile fallback: tiles whose id-ranges span more than R_W aligned
+    # windows (degenerate clustering) rescan the FULL point array — already
+    # VMEM-resident — and overwrite their TQ output rows. Exact for any
+    # input; costs ~N/(3*R_W*WIN) of a tile's narrow-path work per
+    # overflowing tile, so rare overflow is ~free and the whole-call
+    # lax.cond fallback of v3 (an XLA scheduling barrier) is gone.
+    x_all = p_ref[0, 0:1, :]  # (1, N)
+    y_all = p_ref[0, 1:2, :]
+    z_all = p_ref[0, 2:3, :]
+    oi_all = oidx_ref[0, 0:1, :]
 
-    _, out = lax.fori_loop(
-        0, nsample, body, (score, jnp.zeros((rows, nsample), jnp.int32))
-    )
-    first = out[:, :1]
-    out_ref[0] = jnp.where(out == n_total, first, out)
+    def rescan(tt, _):
+        @pl.when(ovf_ref[b * n_tiles + tb * TB + tt] != 0)
+        def _():
+            qt = q_ref[0, tt]  # (3, TQ)
+            qx = qt[0:1, :].reshape(TQ, 1)
+            qy = qt[1:2, :].reshape(TQ, 1)
+            qz = qt[2:3, :].reshape(TQ, 1)
+            d2 = (qx - x_all) ** 2 + (qy - y_all) ** 2 + (qz - z_all) ** 2
+            score = jnp.where(d2 <= r2, oi_all, n_total)  # (TQ, N)
+            out_ref[0, pl.ds(tt * TQ, TQ), :] = _extract_first_k(
+                score, nsample, n_total, TQ
+            )
+        return 0
+
+    lax.fori_loop(0, TB, rescan, 0)
 
 
 def _cell_offsets(skey: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +236,9 @@ def ballquery_grid(
     b_lo = jnp.clip(r_start // WIN, 0, n_blocks - R_W)
     b_hi = jnp.maximum((r_end - 1) // WIN, 0)
     nonempty = r_end > r_start
-    overflow = jnp.any(nonempty & (b_hi > b_lo + (R_W - 1)))
+    ovf = jnp.any(
+        nonempty & (b_hi > b_lo + (R_W - 1)), axis=-1
+    )  # (B, T) per-tile
     blocks = b_lo  # (B, T, 3)
 
     spT = jnp.transpose(sp, (0, 2, 1))  # (B, 3, N)
@@ -202,44 +246,43 @@ def ballquery_grid(
     sq_tiles = jnp.transpose(sq_tiles, (0, 2, 1, 3))  # (B, T, 3, TQ)
     oidx = perm[:, None, :]  # (B, 1, N) original indices
 
-    def run_grid(_):
-        out_sorted = pl.pallas_call(
-            functools.partial(
-                _grid_kernel,
-                radius=float(radius),
-                nsample=nsample,
-                n_total=N,
-                n_tiles=T,
-            ),
-            grid=(B, T // TB),
-            out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # blocks, flat
-                pl.BlockSpec(
-                    (1, TB, 3, TQ),
-                    lambda b, t: (b, t, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, 1, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, TB * TQ, nsample),
-                lambda b, t: (b, t, 0),
+    out_sorted = pl.pallas_call(
+        functools.partial(
+            _grid_kernel,
+            radius=float(radius),
+            nsample=nsample,
+            n_total=N,
+            n_tiles=T,
+        ),
+        grid=(B, T // TB),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # blocks, flat
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile overflow, flat
+            pl.BlockSpec(
+                (1, TB, 3, TQ),
+                lambda b, t: (b, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            interpret=interpret,
-        )(blocks.reshape(-1), sq_tiles, spT, oidx)
-        inv = jnp.argsort(qperm, axis=1).astype(jnp.int32)
-        return index_points(out_sorted, inv)
-
-    def run_dense(_):
-        return ballquery_pallas(
-            radius, nsample, xyz, new_xyz, interpret=interpret
-        )
-
-    return lax.cond(overflow, run_dense, run_grid, operand=None)
+            pl.BlockSpec(
+                (1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TB * TQ, nsample),
+            lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(
+        blocks.reshape(-1),
+        ovf.reshape(-1).astype(jnp.int32),
+        sq_tiles,
+        spT,
+        oidx,
+    )
+    inv = jnp.argsort(qperm, axis=1).astype(jnp.int32)
+    return index_points(out_sorted, inv)

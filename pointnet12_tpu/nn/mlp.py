@@ -67,11 +67,24 @@ def _lifted_group_dense_bwd(res, g):
     hp = jax.lax.Precision.HIGHEST
     gsum_k = jnp.sum(g, axis=2)  # (B, S, C1)
 
-    # scatter-free dkernel: re-gather the per-neighbor inputs
+    # scatter-free dkernel: re-gather the per-neighbor inputs. The
+    # contractions run on FLAT 2-D views — the 4-D einsum made XLA relayout
+    # the gathered tensor to the grouped {1,3,2,0} layout first (a 0.43 ms
+    # transpose copy at the flagship shape, profiled).
     gp = index_points(pts, idx)  # (B, S, K, C0)
-    dkernel = jnp.einsum("bskc,bskd->cd", gp, g, precision=hp)
+    dkernel = jax.lax.dot_general(
+        gp.reshape(-1, C0),
+        g.reshape(-1, C1),
+        (((0,), (0,)), ((), ())),
+        precision=hp,
+    )
     dkernel = dkernel.at[:3].add(
-        -jnp.einsum("bsc,bsd->cd", q, gsum_k, precision=hp)
+        -jax.lax.dot_general(
+            q.reshape(-1, 3),
+            gsum_k.reshape(-1, C1),
+            (((0,), (0,)), ((), ())),
+            precision=hp,
+        )
     )
     dbias = jnp.sum(g, axis=(0, 1, 2))
 
@@ -152,6 +165,10 @@ class GroupedSharedMLP(nn.Module):
         )
         x = x.astype(self.dtype)
 
+        # NOTE (measured, do not "simplify"): running this stack on a FLAT
+        # (B, S*K, C) view to dodge the {1,3,2,0} relayout copies was tried
+        # and is 8.5 ms/step SLOWER (27.4 vs 18.9) — XLA's grouped-layout
+        # choice is load-bearing for the BN/max fusions; keep 4-D.
         for i, width in enumerate(self.features):
             if i > 0:
                 x = nn.Dense(

@@ -78,7 +78,8 @@ def test_ballquery_grid_matches_jnp(clouds):
 
 
 def test_ballquery_grid_fallback_on_clusters():
-    """Degenerate clustering (one overloaded voxel) takes the dense path."""
+    """Degenerate clustering (one overloaded voxel) takes the dense path
+    (S=64 misses the S % 128 == 0 grid precondition)."""
     from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
 
     rng = np.random.RandomState(3)
@@ -94,6 +95,38 @@ def test_ballquery_grid_fallback_on_clusters():
     want = np.asarray(_ballquery_jnp(0.1, 16, xyz, new_xyz))
     got = np.asarray(ballquery_grid(0.1, 16, xyz, new_xyz, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ballquery_grid_per_tile_rescan():
+    """Tiles whose cell ranges overflow R_W aligned windows must take the
+    in-kernel full-array rescan and still match the jnp reference exactly.
+    500 coincident points in one voxel guarantee a >R_W*128-point range for
+    the tiles querying that neighborhood, while other tiles stay narrow."""
+    from pointnet12_tpu.kernels import ballquery_grid as bg
+
+    rng = np.random.RandomState(7)
+    xyz = np.concatenate(
+        [
+            np.full((2, 500, 3), 0.31, np.float32),
+            rng.uniform(size=(2, 140, 3)).astype(np.float32),
+        ],
+        axis=1,
+    )  # N=640: % 128 == 0, >= R_W*WIN
+    xyz = jnp.asarray(xyz)
+    new_xyz = index_points(
+        xyz, _fps_jnp(xyz, 128, jnp.zeros((2,), jnp.int32))
+    )  # S=128: grid path taken
+    want = np.asarray(_ballquery_jnp(0.1, 16, xyz, new_xyz))
+    got = np.asarray(
+        bg.ballquery_grid(0.1, 16, xyz, new_xyz, interpret=True)
+    )
+    d2 = np.sum(
+        (np.asarray(new_xyz)[:, :, None, :] - np.asarray(xyz)[:, None]) ** 2,
+        -1,
+    )
+    ok = ~np.any(np.abs(d2 - 0.1**2) < 1e-5, axis=-1)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(got[ok], want[ok])
 
 
 def test_three_nn_pallas_matches_jnp(clouds):
