@@ -209,15 +209,17 @@ def verify_kernels():
 
     d_j, i_j = three_nn(xyz, new_xyz, impl="jnp")
     d_p, i_p = three_nn_pallas(xyz, new_xyz)
-    # exclude rows whose 3rd/4th nearest distances are within fp tolerance:
-    # near-ties legitimately flip the returned index order between the two
-    # distance formulations (verified: distance values still agree to 1e-6)
+    # exclude rows with ANY near-tie among the 4 nearest distances: ties
+    # legitimately permute the returned slots between the two distance
+    # formulations — both internal (slot swaps among the top 3; observed
+    # with slot-distance error 2e-7) and at the 3rd/4th boundary. Distance
+    # VALUES still agree to ~1e-6 (asserted via three_nn_dist_maxerr).
     dq = np.sum(
         (np.asarray(xyz)[:, :, None, :] - np.asarray(new_xyz)[:, None]) ** 2,
         -1,
     )  # (B, N, M): three_nn finds each xyz point's 3 NN among new_xyz
     dq = np.sort(dq, axis=-1)[..., :4]
-    gap_ok = (dq[..., 3] - dq[..., 2]) > 1e-6
+    gap_ok = np.min(np.diff(dq, axis=-1), axis=-1) > 1e-6
     out["three_nn_idx"] = int((np.asarray(i_p) != np.asarray(i_j))[gap_ok].sum())
     out["three_nn_dist_maxerr"] = float(
         np.max(np.abs(np.asarray(d_p) - np.asarray(d_j)))

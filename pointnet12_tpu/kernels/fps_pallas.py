@@ -7,10 +7,14 @@ running-min ``distance`` array stay resident in VMEM across all ``npoint``
 iterations, and each iteration is {one-hot centroid reduce, distance update,
 running min, masked argmax} on the VPU.
 
-Layout: 8 clouds are packed per grid block so every (8, 128) VPU tile is
-fully occupied (a single cloud would waste 7/8 sublanes). Coordinates are
-fed as three ``(B, N)`` planes (split outside the kernel — XLA fuses the
-transpose into the producing op).
+Layout: 16 clouds are packed per grid block so every (8, 128) VPU tile is
+fully occupied (a single cloud would waste 7/8 sublanes) AND the flagship
+batch runs as ONE grid step. TPU grid steps execute sequentially, and the
+FPS loop is latency-bound (argmax -> one-hot reduce -> distance-update
+dependency chain), so halving the step count at B=16 nearly halves wall
+time; the wider (16, N) rows ride the same VPU issue slots. Coordinates
+are fed as three ``(B, N)`` planes (split outside the kernel — XLA fuses
+the transpose into the producing op).
 
 Tie-breaking: argmax resolves to the FIRST maximal index (masked min over an
 index iota), matching ``jnp.argmax`` and the torch-CPU oracle.
@@ -24,7 +28,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROWS = 8  # clouds per grid block == f32 sublane count
+_ROWS = 16  # clouds per grid block (2 sublane tiles; see module docstring)
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, start_ref, out_ref, *, npoint: int):
