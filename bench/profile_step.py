@@ -60,14 +60,29 @@ def parse(out_dir):
         md = {m.id: m.name for m in plane.event_metadata.values()}
         agg = collections.Counter()
         cnt = collections.Counter()
+        cat = collections.Counter()
         for line in plane.lines:
             for ev in line.events:
                 name = md.get(ev.metadata_id, "?")
+                # async start events span until completion and overlap real
+                # compute — their durations double-count; skip them
+                if "copy-start" in name or "slice-start" in name or (
+                    "async-start" in name
+                ):
+                    continue
                 agg[name] += ev.duration_ps / 1e9  # -> ms
                 cnt[name] += 1
+                op = name.split("=", 1)[-1].strip().split("(")[0].strip()
+                kind = op.split()[-1] if " " in op else op
+                m = re.match(r"%([a-zA-Z_\-]+)", name.strip())
+                cat[m.group(1) if m else name[:20]] += ev.duration_ps / 1e9
         total = sum(agg.values())
-        print(f"total device event ms (3 steps): {total:.2f}")
-        for name, ms in agg.most_common(60):
+        print(f"total non-async device event ms (3 steps): {total:.2f}")
+        print("-- by op-name prefix:")
+        for name, ms in cat.most_common(30):
+            print(f"{ms:8.3f} ms  {name}")
+        print("-- top individual ops:")
+        for name, ms in agg.most_common(120):
             print(f"{ms:8.3f} ms  x{cnt[name]:<4d} {name[:140]}")
 
 

@@ -17,6 +17,7 @@ BatchNorm parity notes (SURVEY.md §7 "hard parts"):
     parameter trees map 1:1 for weight import.
 """
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -27,19 +28,18 @@ BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
 
 
-@jax.custom_vjp
-def _lifted_group_dense(pts, q, idx, kernel, bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lifted_group_dense(n_points, pts, q, idx, kernel, bias):
     """h1_pre[b,s,k] = (pts@kernel + bias)[idx[b,s,k]] - (q@kernel[:3])[b,s].
 
     Equals dense(concat(p[idx]-q, f[idx])) exactly (fp reassociation aside).
     The custom VJP exists because the naive gradient materializes
     dL/dw = scatter_add(g, idx) — a B*S*K-row scatter XLA executes
     row-serialized (~6.9 ms/step at the flagship shape, profiled). Instead
-    dkernel is computed scatter-free by RE-GATHERING the inputs
-    (dkernel = gather(pts, idx)^T @ g, one ~1 ms gather + a tiny matmul);
-    the scatter survives only inside dpts, which is dead code whenever the
-    layer's input features carry no gradient (SA1: raw points) and XLA
-    eliminates it.
+    dkernel is computed scatter-free from the gathered inputs
+    (dkernel = gather(pts, idx)^T @ g); the scatter-shaped dpts runs through
+    the one-hot MXU segment-matmul (ops/segsum.py) and is dead code whenever
+    the layer's input features carry no gradient (SA1: raw points).
     """
     w = jax.lax.dot_general(
         pts, kernel, (((2,), (0,)), ((), ())),
@@ -54,24 +54,43 @@ def _lifted_group_dense(pts, q, idx, kernel, bias):
     return index_points(w, idx) - t[:, :, None, :]
 
 
-def _lifted_group_dense_fwd(pts, q, idx, kernel, bias):
-    return _lifted_group_dense(pts, q, idx, kernel, bias), (pts, q, idx, kernel)
+def _lifted_group_dense_fwd(n_points, pts, q, idx, kernel, bias):
+    """Forward for training: ONE merged gather of concat([w, pts], -1).
 
-
-def _lifted_group_dense_bwd(res, g):
+    v5e gathers are descriptor-bound (~per-row cost, near-independent of
+    row width — profiled 0.94 ms for 524288x32 AND 524288x12), and the
+    backward needs gather(pts, idx) for dkernel. Gathering the 12 extra
+    pts channels alongside w here is ~free and deletes the backward's
+    second 524288-row gather; the gathered inputs ride to the backward as
+    a residual (25 MB at the flagship SA1 — bandwidth noise).
+    """
     from pointnet12_tpu.ops.gather import index_points
 
-    pts, q, idx, kernel = res
-    B, N, C0 = pts.shape
+    hp = jax.lax.Precision.HIGHEST
+    w = jax.lax.dot_general(
+        pts, kernel, (((2,), (0,)), ((), ())), precision=hp
+    ) + bias
+    t = jax.lax.dot_general(q, kernel[:3], (((2,), (0,)), ((), ())), precision=hp)
+    C1 = kernel.shape[1]
+    wp = jnp.concatenate([w, pts], axis=-1)  # (B, N, C1 + C0)
+    gwp = index_points(wp, idx)  # (B, S, K, C1 + C0)
+    out = gwp[..., :C1] - t[:, :, None, :]
+    gp = gwp[..., C1:]  # gathered inputs, saved for dkernel
+    return out, (gp, q, idx, kernel)
+
+
+def _lifted_group_dense_bwd(n_points, res, g):
+    gp, q, idx, kernel = res
+    C0 = kernel.shape[0]
     C1 = kernel.shape[1]
     hp = jax.lax.Precision.HIGHEST
+    B = gp.shape[0]
     gsum_k = jnp.sum(g, axis=2)  # (B, S, C1)
 
-    # scatter-free dkernel: re-gather the per-neighbor inputs. The
+    # scatter-free dkernel from the forward-gathered inputs. The
     # contractions run on FLAT 2-D views — the 4-D einsum made XLA relayout
     # the gathered tensor to the grouped {1,3,2,0} layout first (a 0.43 ms
     # transpose copy at the flagship shape, profiled).
-    gp = index_points(pts, idx)  # (B, S, K, C0)
     dkernel = jax.lax.dot_general(
         gp.reshape(-1, C0),
         g.reshape(-1, C1),
@@ -95,7 +114,7 @@ def _lifted_group_dense_bwd(res, g):
     from pointnet12_tpu.ops.segsum import segment_matmul
 
     dw = segment_matmul(
-        idx.reshape(B, 1, -1), None, g.reshape(B, -1, C1), N
+        idx.reshape(B, 1, -1), None, g.reshape(B, -1, C1), n_points
     )
     dpts = jax.lax.dot_general(
         dw, kernel.T, (((2,), (0,)), ((), ())), precision=hp
@@ -157,6 +176,7 @@ class GroupedSharedMLP(nn.Module):
         kernel = dense0.variables["params"]["kernel"]  # (3+D, C1) fp32
         bias = dense0.variables["params"]["bias"]
         x = _lifted_group_dense(
+            pts.shape[1],
             pts.astype(jnp.float32),
             new_xyz.astype(jnp.float32),
             group_idx,
