@@ -129,6 +129,7 @@ def bench_inference():
 def bench_kernels():
     from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
     from pointnet12_tpu.kernels.fps_pallas import fps_pallas
+    from pointnet12_tpu.ops.ballquery import query_ball_point
     from pointnet12_tpu.ops.gather import index_points
 
     key = jax.random.PRNGKey(1)
@@ -148,6 +149,17 @@ def bench_kernels():
         return run
 
     def bq_looped(k):
+        # production dispatch (impl="auto"): the grid kernel at this shape
+        def run(xyz, new_xyz):
+            def body(i, acc):
+                idx = query_ball_point(radius, nsample, xyz + acc * 0, new_xyz)
+                return acc + idx[0, 0, 0].astype(jnp.float32)
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    def bq_dense_looped(k):
         def run(xyz, new_xyz):
             def body(i, acc):
                 idx = ballquery_pallas(radius, nsample, xyz + acc * 0, new_xyz)
@@ -161,7 +173,8 @@ def bench_kernels():
     # (several ms) cannot swamp the marginal difference
     t_fps, _ = _marginal_time(fps_looped, xyz, new_xyz, short=2, long=42)
     t_bq, _ = _marginal_time(bq_looped, xyz, new_xyz, short=2, long=22)
-    return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6
+    t_bqd, _ = _marginal_time(bq_dense_looped, xyz, new_xyz, short=2, long=22)
+    return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6, t_bqd / BATCH * 1e6
 
 
 def verify_kernels():
@@ -237,7 +250,7 @@ def main(argv=None):
 
     clouds_per_sec, sec_per_step, spread = bench_train_step()
     infer_cps, _ = bench_inference()
-    fps_us, bq_us = bench_kernels()
+    fps_us, bq_us, bq_dense_us = bench_kernels()
     verify = verify_kernels()
     result = {
         "metric": "clouds/sec/chip PointNet++ SSG semseg fwd+bwd (B=16, N=4096)",
@@ -249,6 +262,7 @@ def main(argv=None):
         "inference_clouds_per_sec": round(infer_cps, 2),
         "fps_us_per_cloud": round(fps_us, 1),
         "ballquery_us_per_cloud": round(bq_us, 1),
+        "ballquery_dense_us_per_cloud": round(bq_dense_us, 1),
         "fps_ballquery_us_per_cloud": round(fps_us + bq_us, 1),
         "kernel_verify": verify,
         "device": str(jax.devices()[0]),

@@ -18,14 +18,26 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pointnet12_tpu.nn.mlp import BN_EPS, BN_MOMENTUM
+from pointnet12_tpu.nn.mlp import (
+    BN_EPS,
+    BN_MOMENTUM,
+    MomentBN,
+    _folded_dense_bn,
+)
 from pointnet12_tpu.nn.tnet import TNet
 
 
 def _dense_bn(x, width, name, train):
-    x = nn.Dense(width, name=f"{name}")(x)
+    dense = nn.Dense(width, name=f"{name}")
+    if not train:
+        # eval: fold BN into the matmul columns via running statistics
+        # (exact affine; see nn/mlp.py::_folded_dense_bn).
+        return _folded_dense_bn(
+            x, dense, MomentBN(name=f"{name}_bn"), False, jnp.float32
+        )
+    x = dense(x)
     return nn.BatchNorm(
-        use_running_average=not train,
+        use_running_average=False,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
         name=f"{name}_bn",

@@ -28,6 +28,137 @@ BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
 
 
+class MomentBN(nn.Module):
+    """BatchNorm parameter/statistics holder for the folded Dense+BN path.
+
+    Declares the SAME variable tree as ``nn.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``) so checkpoints and
+    torch imports are byte-compatible, but instead of normalizing a tensor
+    it returns the per-channel affine ``(eff_scale, eff_bias)`` with
+    ``bn(h) == h * eff_scale + eff_bias``. The caller folds ``eff_scale``
+    into the preceding matmul's columns, so normalize never touches the
+    ``(B, S, K, C)`` activations (the SA layers' HBM bottleneck).
+
+    In train mode the caller supplies batch ``(mean, var)`` — computed
+    moment-wise, see ``_folded_dense_stats`` — and the running statistics
+    are EMA-updated exactly as flax does; in eval mode the running
+    statistics are used and the inputs are ignored.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, batch_mean, batch_var, train: bool):
+        width = batch_mean.shape[-1]
+        scale = self.param(
+            "scale", nn.initializers.ones, (width,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (width,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((width,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((width,), jnp.float32)
+        )
+        if train:
+            mean, var = batch_mean, batch_var
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * batch_mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * batch_var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        eff_scale = scale * jax.lax.rsqrt(var + self.epsilon)
+        return eff_scale, bias - mean * eff_scale
+
+
+def _folded_dense_stats(x, kernel, bias):
+    """Batch mean/var of ``h = x @ kernel + bias`` WITHOUT materializing h.
+
+    BN statistics are quadratic in h, and h is linear in x, so they follow
+    from x's first/second moments:
+
+        mean_c = (s . w_c)/R + b_c            s = sum_r x_r
+        E[h_c^2] = w_c^T M w_c / R + 2 b_c (s . w_c)/R + b_c^2
+                                              M = x^T x  (one MXU matmul)
+        var_c  = E[h_c^2] - mean_c^2          (biased, as flax uses)
+
+    This replaces the stat-reduce pass over the (B*S*K, C_out) activation
+    tensor with one (R, C_in) x (R, C_in) moment matmul plus an O(C^2)
+    epilogue — the caller then folds the normalize into the main matmul's
+    columns, so per layer the big tensor is READ twice and written once
+    (vs write-h / stats-read / normalize-read under unfolded BN). Exact up
+    to fp reassociation; runs fp32 HIGHEST so the E[h^2]-mean^2
+    cancellation keeps ~7 clean digits.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    x2 = x.astype(jnp.float32)
+    # contract the row axes IN PLACE with a multi-axis dot_general: an
+    # explicit reshape(-1, C) view made XLA relayout the grouped 4-D
+    # tensor around the dots ({1,3,2,0} <-> {2,1,0,3} copies + reshapes,
+    # ~7 ms/step at the flagship shape, profiled) in forward AND backward.
+    axes = tuple(range(x.ndim - 1))
+    r = 1.0
+    for a in axes:
+        r *= x.shape[a]
+    s = jnp.sum(x2, axis=axes)  # (Ci,)
+    m2 = jax.lax.dot_general(
+        x2, x2, ((axes, axes), ((), ())), precision=hp
+    )  # (Ci, Ci)
+    sw = jax.lax.dot_general(
+        s[None], kernel, (((1,), (0,)), ((), ())), precision=hp
+    )[0]
+    mean = sw / r + bias
+    p = jax.lax.dot_general(
+        m2, kernel, (((1,), (0,)), ((), ())), precision=hp
+    )
+    e_h2 = (
+        jnp.einsum("ic,ic->c", kernel, p, precision=hp) / r
+        + 2.0 * bias * sw / r
+        + bias * bias
+    )
+    var = jnp.maximum(e_h2 - mean * mean, 0.0)
+    return mean, var
+
+
+def _folded_dense_bn(x, dense, bn, train, dtype):
+    """relu-less Dense+BN with the normalize folded into the matmul.
+
+    ``dense`` and ``bn`` are bound submodules (``nn.Dense`` /``MomentBN``);
+    the Dense params are created here via a dummy call so the variable
+    tree matches the unfolded path exactly.
+
+    Measured on-chip (flagship step): folding in TRAIN mode loses ~2 ms —
+    the moment matmuls plus their backward cost more than the stat-reduce /
+    normalize passes XLA already fuses well — so the modules below fold
+    only in eval mode, where running stats make the fold free and serving
+    throughput jumps 1340 -> ~2100 clouds/sec (B=16, N=4096). The train
+    path (``train=True``) is kept correct and tested for experimentation.
+    """
+    dense(jnp.zeros((1, x.shape[-1]), jnp.float32))  # create params
+    kernel = dense.variables["params"]["kernel"].astype(jnp.float32)
+    bias = dense.variables["params"]["bias"].astype(jnp.float32)
+    if train:
+        mean, var = _folded_dense_stats(x, kernel, bias)
+    else:
+        width = kernel.shape[1]
+        mean = var = jnp.zeros((width,), jnp.float32)  # unused in eval
+    eff_scale, eff_bias = bn(mean, var, train)
+    w = (kernel * eff_scale[None, :]).astype(dtype)
+    # bn(h) = h*eff_scale + eff_bias with h = x@kernel + bias, so the Dense
+    # bias rides the affine too: + bias*eff_scale.
+    b = bias * eff_scale + eff_bias
+    return (
+        jax.lax.dot_general(
+            x.astype(dtype), w, (((x.ndim - 1,), (0,)), ((), ()))
+        )
+        + b.astype(dtype)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _lifted_group_dense(n_points, pts, q, idx, kernel, bias):
     """h1_pre[b,s,k] = (pts@kernel + bias)[idx[b,s,k]] - (q@kernel[:3])[b,s].
@@ -158,6 +289,7 @@ class GroupedSharedMLP(nn.Module):
 
     features: Sequence[int]
     dtype: Any = jnp.float32
+    pool: bool = False  # max over K (pre-ReLU) after the last layer
 
     @nn.compact
     def __call__(self, xyz, feats, new_xyz, group_idx, train: bool = False):
@@ -175,6 +307,15 @@ class GroupedSharedMLP(nn.Module):
         dense0(jnp.zeros((1, pts.shape[-1]), jnp.float32))  # create params
         kernel = dense0.variables["params"]["kernel"]  # (3+D, C1) fp32
         bias = dense0.variables["params"]["bias"]
+        fold = not train  # eval-only folding, see _folded_dense_bn
+        if fold:
+            # fold eval bn_0 straight into the lifted dense0 weights: with
+            # h1 = (pts@W + b)[idx] - q@W[:3], scaling W's columns and
+            # adjusting b gives bn(h1) with zero elementwise passes.
+            zeros0 = jnp.zeros((self.features[0],), jnp.float32)
+            s0, b0 = MomentBN(name="bn_0")(zeros0, zeros0, False)
+            kernel = kernel * s0[None, :]
+            bias = bias * s0 + b0
         x = _lifted_group_dense(
             pts.shape[1],
             pts.astype(jnp.float32),
@@ -189,24 +330,52 @@ class GroupedSharedMLP(nn.Module):
         # (B, S*K, C) view to dodge the {1,3,2,0} relayout copies was tried
         # and is 8.5 ms/step SLOWER (27.4 vs 18.9) — XLA's grouped-layout
         # choice is load-bearing for the BN/max fusions; keep 4-D.
+        n_layers = len(self.features)
         for i, width in enumerate(self.features):
-            if i > 0:
-                x = nn.Dense(
+            last = i == n_layers - 1
+            if i == 0:
+                if not fold:
+                    # train: stock batch-stat BN (folding measured ~2 ms
+                    # slower in-step, see _folded_dense_bn); eval: bn_0 was
+                    # folded into the lifted dense0 above.
+                    x = nn.BatchNorm(
+                        use_running_average=False,
+                        momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS,
+                        name=f"bn_{i}",
+                        dtype=jnp.float32,
+                        param_dtype=jnp.float32,
+                    )(x).astype(self.dtype)
+            else:
+                dense = nn.Dense(
                     width,
                     name=f"dense_{i}",
                     dtype=self.dtype,
                     param_dtype=jnp.float32,
-                )(x)
-            # BN compute dtype PINNED to fp32 (see SharedMLP)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                name=f"bn_{i}",
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-            )(x)
-            x = nn.relu(x.astype(self.dtype))
+                )
+                if fold:
+                    # eval: running stats make the fold free — normalize
+                    # rides the matmul columns, no elementwise pass over
+                    # the (B, S, K, C) tensor.
+                    x = _folded_dense_bn(
+                        x, dense, MomentBN(name=f"bn_{i}"), False, self.dtype
+                    )
+                else:
+                    x = dense(x)
+                    x = nn.BatchNorm(
+                        use_running_average=False,
+                        momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS,
+                        name=f"bn_{i}",
+                        dtype=jnp.float32,
+                        param_dtype=jnp.float32,
+                    )(x).astype(self.dtype)
+            if last and self.pool:
+                # max over K commutes with the monotonic ReLU: pooling the
+                # pre-ReLU tensor means the last layer's (B, S, K, C)
+                # activation is never written back through a ReLU pass.
+                x = jnp.max(x, axis=2)
+            x = nn.relu(x)
         return x
 
 
@@ -233,27 +402,36 @@ class SharedMLP(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         for i, width in enumerate(self.features):
-            x = nn.Dense(
+            dense = nn.Dense(
                 width,
                 name=f"dense_{i}",
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
-            )(x)
-            if self.use_bn:
-                # BN compute dtype is PINNED to fp32: with dtype=bf16 the
-                # running statistics corrupt and eval-mode quality collapses
-                # (measured mIoU 0.18 vs 0.53 on the synthetic seg probe);
-                # batch-stat eval was fine, isolating the EMA pathway. The
-                # matmuls above stay in self.dtype, so MXU speed is kept.
+            )
+            if self.use_bn and not train:
+                # eval: fold BN into the matmul columns via running stats
+                # (free; big serving win — see _folded_dense_bn).
+                x = _folded_dense_bn(
+                    x, dense, MomentBN(name=f"bn_{i}"), False, self.dtype
+                )
+            elif self.use_bn:
+                # train: stock batch-stat BN (moment-folding measured ~2 ms
+                # slower in-step). BN compute dtype PINNED to fp32: with
+                # dtype=bf16 the running statistics corrupt and eval-mode
+                # quality collapses (measured mIoU 0.18 vs 0.53 on the
+                # synthetic seg probe); batch-stat eval was fine, isolating
+                # the EMA pathway. Matmuls stay in self.dtype for MXU speed.
+                x = dense(x)
                 x = nn.BatchNorm(
-                    use_running_average=not train,
+                    use_running_average=False,
                     momentum=BN_MOMENTUM,
                     epsilon=BN_EPS,
                     name=f"bn_{i}",
                     dtype=jnp.float32,
                     param_dtype=jnp.float32,
-                )(x)
-                x = x.astype(self.dtype)
+                )(x).astype(self.dtype)
+            else:
+                x = dense(x)
             if self.final_act or i < len(self.features) - 1:
                 x = nn.relu(x)
         return x

@@ -53,20 +53,21 @@ class SetAbstraction(nn.Module):
             x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
                 grouped, train=train
             )
-        else:
-            fps_idx = farthest_point_sample(
-                xyz, self.npoint, key=fps_key, impl=self.impl
-            )
-            new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
-            group_idx = query_ball_point(
-                self.radius, self.nsample, xyz, new_xyz, impl=self.impl
-            )
-            # lifted first matmul: one gather instead of two, no grouped
-            # (B, S, K, 3+D) input tensor (see GroupedSharedMLP)
-            x = GroupedSharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
-                xyz, feats, new_xyz, group_idx, train=train
-            )
-        return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
+            return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
+        fps_idx = farthest_point_sample(
+            xyz, self.npoint, key=fps_key, impl=self.impl
+        )
+        new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+        group_idx = query_ball_point(
+            self.radius, self.nsample, xyz, new_xyz, impl=self.impl
+        )
+        # lifted first matmul: one gather instead of two, no grouped
+        # (B, S, K, 3+D) input tensor; pool=True does the K-max in-module
+        # (pre-ReLU, so the last grouped activation skips the ReLU pass).
+        x = GroupedSharedMLP(
+            self.mlp, dtype=self.dtype, pool=True, name="mlp"
+        )(xyz, feats, new_xyz, group_idx, train=train)
+        return new_xyz, x
 
 
 class SetAbstractionMSG(nn.Module):
@@ -99,8 +100,8 @@ class SetAbstractionMSG(nn.Module):
             group_idx = query_ball_point(
                 radius, nsample, xyz, new_xyz, impl=self.impl
             )
-            x = GroupedSharedMLP(mlp, dtype=self.dtype, name=f"branch_{i}")(
-                xyz, feats, new_xyz, group_idx, train=train
-            )
-            branch_outs.append(jnp.max(x, axis=2))
+            x = GroupedSharedMLP(
+                mlp, dtype=self.dtype, pool=True, name=f"branch_{i}"
+            )(xyz, feats, new_xyz, group_idx, train=train)
+            branch_outs.append(x)
         return new_xyz, jnp.concatenate(branch_outs, axis=-1)
