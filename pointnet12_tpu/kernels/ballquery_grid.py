@@ -75,7 +75,9 @@ R_W = 3  # consecutive aligned windows read per dx-range (3 ranges/tile)
 
 def _extract_first_k(score, nsample, n_total, rows):
     """K passes of masked-min with value retirement: ascending original
-    indices, pad-with-first, duplicate copies retired at once."""
+    indices, pad-with-first, duplicate copies retired at once. (int16
+    scores would pack 2x per lane, but Mosaic has no int16 reductions —
+    tried on-chip, NotImplementedError.)"""
     iota_k = lax.broadcasted_iota(jnp.int32, (rows, nsample), 1)
 
     def body(k, carry):
