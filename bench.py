@@ -41,12 +41,17 @@ FEAT_DIM = 9
 SHORT, LONG = 2, 12
 
 
-def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
+def _marginal_time(
+    make_looped, *args, reps=5, short=SHORT, long=LONG, stat="best"
+):
     """Device seconds per iteration: (t_long - t_short) / (long - short).
 
-    Returns ``(best, spread)``: best-of-reps marginal plus the relative
-    spread ``(max - min) / median`` across reps, so round-over-round deltas
-    are attributable against the box's ~±20% run-to-run variance.
+    Returns ``(value, spread)``: the best-of-reps (or median, for
+    small-kernel loops where relay noise between the paired runs can push
+    individual samples below the true device time — min-of-reps then
+    UNDERestimates) plus the relative spread ``(max - min) / median``
+    across reps, so round-over-round deltas are attributable against the
+    box's ~±20% run-to-run variance.
     """
     f_short = jax.jit(make_looped(short))
     f_long = jax.jit(make_looped(long))
@@ -67,10 +72,10 @@ def _marginal_time(make_looped, *args, reps=5, short=SHORT, long=LONG):
         t_long = time.perf_counter() - t0
         samples.append((t_long - t_short) / (long - short))
     samples.sort()
-    best = samples[0]
     med = samples[len(samples) // 2]
+    value = med if stat == "median" else samples[0]
     spread = (samples[-1] - samples[0]) / max(med, 1e-12)
-    return best, spread
+    return value, spread
 
 
 def bench_train_step():
@@ -169,11 +174,18 @@ def bench_kernels():
 
         return run
 
-    # the FPS kernel is ~1 ms/call; stretch the loops so relay jitter
-    # (several ms) cannot swamp the marginal difference
-    t_fps, _ = _marginal_time(fps_looped, xyz, new_xyz, short=2, long=42)
-    t_bq, _ = _marginal_time(bq_looped, xyz, new_xyz, short=2, long=22)
-    t_bqd, _ = _marginal_time(bq_dense_looped, xyz, new_xyz, short=2, long=22)
+    # sub-ms kernels: stretch the loops hard AND take the median — relay
+    # jitter (several ms) between the paired short/long runs otherwise
+    # biases a min-of-reps estimate toward zero.
+    t_fps, _ = _marginal_time(
+        fps_looped, xyz, new_xyz, short=2, long=122, stat="median"
+    )
+    t_bq, _ = _marginal_time(
+        bq_looped, xyz, new_xyz, short=2, long=62, stat="median"
+    )
+    t_bqd, _ = _marginal_time(
+        bq_dense_looped, xyz, new_xyz, short=2, long=62, stat="median"
+    )
     return t_fps / BATCH * 1e6, t_bq / BATCH * 1e6, t_bqd / BATCH * 1e6
 
 
