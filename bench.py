@@ -232,6 +232,19 @@ def verify_kernels():
     out["ballquery"] = int((bq_p != bq_j)[ok].sum())
     out["ballquery_grid"] = int((bq_g != bq_j)[ok].sum())
 
+    # MSG-shaped case: wider radius, K=64, S=512 (the branch shapes the
+    # cls-MSG model hits; round-1 verification only covered SSG shapes)
+    new_xyz_msg = index_points(xyz, jnp.asarray(fps_j[:, :512]))
+    bqm_j = np.asarray(_ballquery_jnp(0.4, 64, xyz, new_xyz_msg))
+    bqm_p = np.asarray(ballquery_pallas(0.4, 64, xyz, new_xyz_msg))
+    d2m = np.sum(
+        (np.asarray(new_xyz_msg)[:, :, None, :] - np.asarray(xyz)[:, None])
+        ** 2,
+        -1,
+    )
+    okm = ~np.any(np.abs(d2m - 0.4**2) < 1e-5, axis=-1)
+    out["ballquery_msg"] = int((bqm_p != bqm_j)[okm].sum())
+
     d_j, i_j = three_nn(xyz, new_xyz, impl="jnp")
     d_p, i_p = three_nn_pallas(xyz, new_xyz)
     # exclude rows with ANY near-tie among the 4 nearest distances: ties
