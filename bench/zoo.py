@@ -1,0 +1,55 @@
+"""Step-time sweep across the model zoo (train fwd+bwd+update, real chip).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python bench/zoo.py
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import bench as bench_mod
+from pointnet12_tpu.models import get_model
+from pointnet12_tpu.train import create_train_state, make_optimizer
+from pointnet12_tpu.train.loop import build_train_step
+
+CONFIGS = [
+    # (name, task, B, N, C, num_classes)
+    ("pointnet_cls", "cls", 24, 1024, 3, 40),
+    ("pointnet2_cls_ssg", "cls", 24, 1024, 3, 40),
+    ("pointnet2_cls_msg", "cls", 24, 1024, 3, 40),
+    ("pointnet_seg", "seg", 16, 4096, 3, 13),
+]
+
+for name, task, B, N, C, ncls in CONFIGS:
+    model = get_model(name, num_classes=ncls)
+    key = jax.random.PRNGKey(0)
+    points = jax.random.uniform(key, (B, N, C))
+    labels = (
+        jax.random.randint(key, (B,), 0, ncls)
+        if task == "cls"
+        else jax.random.randint(key, (B, N), 0, ncls)
+    )
+    batch = {"points": points, "label": labels}
+    tx = make_optimizer("adam", steps_per_epoch=100)
+    state0 = create_train_state(model, key, points[:1], tx)
+    raw_step = build_train_step(model, task=task, num_classes=ncls)
+
+    def make_looped(k, raw_step=raw_step, batch=batch):
+        def run(state, batch):
+            def body(carry, _):
+                st, m = raw_step(carry, batch, key)
+                return st, m["loss"]
+
+            _, losses = lax.scan(body, state, None, length=k)
+            return losses[-1]
+
+        return run
+
+    sec, spread = bench_mod._marginal_time(make_looped, state0, batch)
+    print(
+        f"{name}: {sec*1e3:.2f} ms/step, {B/sec:.0f} clouds/sec "
+        f"(B={B}, N={N}, spread {spread:.3f})",
+        flush=True,
+    )

@@ -86,9 +86,20 @@ def query_ball_point(
     if impl == "grid":
         from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
 
-        return ballquery_grid(radius, nsample, xyz, new_xyz)
-    if impl == "pallas":
+        out = ballquery_grid(radius, nsample, xyz, new_xyz)
+    elif impl == "pallas":
         from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
 
-        return ballquery_pallas(radius, nsample, xyz, new_xyz)
-    return _ballquery_jnp(radius, nsample, xyz, new_xyz)
+        out = ballquery_pallas(radius, nsample, xyz, new_xyz)
+    else:
+        return _ballquery_jnp(radius, nsample, xyz, new_xyz)
+
+    from pointnet12_tpu.kernels import selfcheck
+
+    if selfcheck.selfcheck_enabled():
+        # sanitizer mode: double-compute against the exact jnp twin,
+        # excluding fp-radius-boundary rows (both answers legitimate there)
+        ref = _ballquery_jnp(radius, nsample, xyz, new_xyz)
+        ok = selfcheck.boundary_ok_mask(radius, xyz, new_xyz)[..., None]
+        selfcheck.assert_match(f"ballquery[{impl}]", out, ref, ok)
+    return out

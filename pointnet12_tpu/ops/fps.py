@@ -82,5 +82,13 @@ def farthest_point_sample(
     if impl == "pallas":
         from pointnet12_tpu.kernels.fps_pallas import fps_pallas
 
-        return fps_pallas(xyz, npoint, start)
+        out = fps_pallas(xyz, npoint, start)
+        from pointnet12_tpu.kernels import selfcheck
+
+        if selfcheck.selfcheck_enabled():
+            # sanitizer mode: double-compute against the exact jnp twin
+            # (both impls are bit-identical: same distance form, 1e10
+            # init, first-index argmax ties)
+            selfcheck.assert_match("fps", out, _fps_jnp(xyz, npoint, start))
+        return out
     return _fps_jnp(xyz, npoint, start)

@@ -47,7 +47,17 @@ def three_nn(
     if impl == "pallas":
         from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
 
-        return three_nn_pallas(query_xyz, ref_xyz)
+        d, i = three_nn_pallas(query_xyz, ref_xyz)
+        from pointnet12_tpu.kernels import selfcheck
+
+        if selfcheck.selfcheck_enabled():
+            # sanitizer mode: index parity vs the jnp twin off near-tie
+            # rows (slot order is fp-unstable there; distance VALUES agree
+            # either way — see bench.py::verify_kernels)
+            _, i_ref = three_nn(query_xyz, ref_xyz, impl="jnp")
+            ok = selfcheck.tie_ok_mask(query_xyz, ref_xyz)[..., None]
+            selfcheck.assert_match("three_nn", i, i_ref, ok)
+        return d, i
     sqrdists = square_distance(query_xyz, ref_xyz)  # (B, N, M)
     neg, idx = lax.top_k(-sqrdists, 3)
     return -neg, idx.astype(jnp.int32)
