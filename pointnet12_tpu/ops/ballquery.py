@@ -96,7 +96,7 @@ def query_ball_point(
 
     from pointnet12_tpu.kernels import selfcheck
 
-    if selfcheck.selfcheck_enabled():
+    if selfcheck.collecting():
         # sanitizer mode: double-compute against the exact jnp twin,
         # excluding fp-radius-boundary rows (both answers legitimate there)
         ref = _ballquery_jnp(radius, nsample, xyz, new_xyz)

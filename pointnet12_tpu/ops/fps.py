@@ -85,7 +85,7 @@ def farthest_point_sample(
         out = fps_pallas(xyz, npoint, start)
         from pointnet12_tpu.kernels import selfcheck
 
-        if selfcheck.selfcheck_enabled():
+        if selfcheck.collecting():
             # sanitizer mode: double-compute against the exact jnp twin
             # (both impls are bit-identical: same distance form, 1e10
             # init, first-index argmax ties)

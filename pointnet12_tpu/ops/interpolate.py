@@ -50,7 +50,7 @@ def three_nn(
         d, i = three_nn_pallas(query_xyz, ref_xyz)
         from pointnet12_tpu.kernels import selfcheck
 
-        if selfcheck.selfcheck_enabled():
+        if selfcheck.collecting():
             # sanitizer mode: index parity vs the jnp twin off near-tie
             # rows (slot order is fp-unstable there; distance VALUES agree
             # either way — see bench.py::verify_kernels)

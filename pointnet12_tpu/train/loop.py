@@ -144,6 +144,40 @@ def make_train_step(
         class_weight=class_weight,
         ignore_class=ignore_class,
     )
+    from pointnet12_tpu.kernels import selfcheck
+
+    if selfcheck.selfcheck_enabled():
+        # Sanitizer mode (debug; ~2x cost, donation skipped). The kernel
+        # checks run in a SHADOW no-grad forward with the same rng folding
+        # as the real step — tracers created under value_and_grad could
+        # not escape as jit outputs — then the unchecked step runs.
+        def checked_step(state, batch, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+            dropout_rng, fps_rng = jax.random.split(step_rng)
+            with selfcheck.collect() as items:
+                state.apply_fn(
+                    {
+                        "params": state.params,
+                        "batch_stats": state.batch_stats,
+                    },
+                    batch["points"],
+                    train=True,
+                    fps_key=fps_rng,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+            counts = {f"{i}:{n}": c for i, (n, c) in enumerate(items)}
+            new_state, metrics = train_step(state, batch, rng)
+            return new_state, metrics, counts
+
+        jstep = jax.jit(checked_step)
+
+        def host_step(state, batch, rng):
+            new_state, metrics, counts = jstep(state, batch, rng)
+            selfcheck.raise_if_any(counts)
+            return new_state, metrics
+
+        return host_step
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
     repl = mesh_lib.replicated(mesh)
@@ -201,6 +235,12 @@ def make_eval_step(
             "count": count,
         }
 
+    from pointnet12_tpu.kernels import selfcheck
+
+    if selfcheck.selfcheck_enabled():
+        # sanitizer mode: eval has no inner grad transform, so the checks
+        # ride the real ops directly (no shadow pass needed)
+        return selfcheck.wrap(eval_step)
     if mesh is None:
         return jax.jit(eval_step)
     repl = mesh_lib.replicated(mesh)
