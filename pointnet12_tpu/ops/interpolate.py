@@ -85,8 +85,13 @@ def three_interpolate(
     """
     w = 1.0 / (dists + _EPS)  # (B, N, 3)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    neighbors = index_points(ref_feats, idx)  # (B, N, 3, C)
-    return jnp.sum(neighbors * w[..., None], axis=2)
+    # three FLAT (B, N, C) gathers + fused FMA instead of one (B, N, 3, C)
+    # gather: same row count, but the 4-D form cost a ~0.2 ms layout
+    # relayout + separate bf16-cast fusion at the flagship shape (profiled)
+    out = index_points(ref_feats, idx[:, :, 0]) * w[:, :, 0:1]
+    for j in (1, 2):
+        out = out + index_points(ref_feats, idx[:, :, j]) * w[:, :, j : j + 1]
+    return out
 
 
 def _three_interpolate_fwd(ref_feats, idx, dists):
