@@ -1,0 +1,280 @@
+"""Long-horizon quality parity vs the torch oracle (VERDICT r3 item 3).
+
+The missing half of the BASELINE quality target (SURVEY.md:209 — eval
+accuracy / mIoU within 0.5% of the PyTorch reference): train BOTH stacks
+from the SAME init (torch weights through the converter) on the SAME
+synthetic data stream to plateau, then compare final eval metrics. Short-
+horizon parity (grad parity at init, loss trajectories) lives in
+tests/test_train_parity.py; this script is the convergence-level evidence a
+dataset-less box can produce, run on CPU so the torch oracle is native.
+
+Bitwise trajectory equality is impossible (fp32 chaos through max-pool
+argmax flips — see tests/test_train_parity.py docstring), so the comparison
+is statistical: identical data, identical init, identical optimizer
+(optax `add_decayed_weights` before `adam` == torch Adam's L2-style
+weight_decay), independent dropout RNG; both runs reach their own plateau
+and the PLATEAU metrics must agree within the 0.5% target.
+
+Usage (background; ~minutes for cls, tens of minutes for semseg on 1 core):
+    PYTHONPATH=/root/repo python bench/quality_parity.py --case cls
+    PYTHONPATH=/root/repo python bench/quality_parity.py --case semseg
+
+Prints one JSON line per case; results are recorded in
+docs/QUALITY_PARITY.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize pins TPU; force CPU
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+from pointnet12_tpu.data.synthetic import SyntheticModelNet, SyntheticScene
+from pointnet12_tpu.models import get_model
+from pointnet12_tpu.train import losses as losses_lib
+from pointnet12_tpu.train.optim import make_optimizer
+from pointnet12_tpu.utils.torch_import import CONVERTERS
+from tests.torch_ref import models_torch
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _state_dict_np(tmodel):
+    return {
+        k: v.numpy()
+        for k, v in tmodel.state_dict().items()
+        if "num_batches_tracked" not in k
+    }
+
+
+def _batches(dataset, batch_size, n_steps, seed=0):
+    """Deterministic shuffled epoch stream of (points, labels) numpy batches
+    — the SAME arrays feed both stacks."""
+    rng = np.random.RandomState(seed)
+    out = []
+    order = None
+    bi = 0
+    nb = len(dataset) // batch_size
+    for _ in range(n_steps):
+        if order is None or bi >= nb:
+            order = rng.permutation(len(dataset))
+            bi = 0
+        idxs = order[bi * batch_size : (bi + 1) * batch_size]
+        pts, lbls = zip(*(dataset[int(i)] for i in idxs))
+        out.append((np.stack(pts), np.stack(lbls).astype(np.int64)))
+        bi += 1
+    return out
+
+
+# ------------------------------------------------------------------- JAX side
+
+
+def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr, wd):
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = make_optimizer("adam", learning_rate=lr, weight_decay=wd)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt, key, pts, lbl):
+        def loss_fn(p):
+            (logp, trans), mut = model.apply(
+                {"params": p, "batch_stats": bs},
+                pts,
+                train=True,
+                fps_key=None,
+                mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            if task == "cls":
+                loss = losses_lib.classification_loss(logp, lbl, trans)
+            else:
+                loss = losses_lib.segmentation_loss(logp, lbl, trans)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax_apply(params, updates), new_bs, new_opt, loss
+
+    import optax
+
+    def optax_apply(p, u):
+        return optax.apply_updates(p, u)
+
+    key = KEY
+    for i, (pts, lbl) in enumerate(batches):
+        key = jax.random.fold_in(KEY, i)
+        params, bs, opt, loss = step(
+            params, bs, opt, key, jnp.asarray(pts), jnp.asarray(lbl)
+        )
+        if i % 50 == 0:
+            print(f"  [jax] step {i} loss {float(loss):.4f}", flush=True)
+    # eval-mode forward (running BN stats, no dropout), batched
+    @jax.jit
+    def fwd(params, bs, pts):
+        logp, _ = model.apply(
+            {"params": params, "batch_stats": bs}, pts, train=False
+        )
+        return jnp.argmax(logp, axis=-1)
+
+    preds = []
+    B = batches[0][0].shape[0]
+    for s in range(0, len(eval_pts), B):
+        chunk = eval_pts[s : s + B]
+        pad = B - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        p = np.asarray(fwd(params, bs, jnp.asarray(chunk)))
+        preds.append(p[: len(chunk) - pad] if pad else p)
+    return np.concatenate(preds), float(loss)
+
+
+# ----------------------------------------------------------------- torch side
+
+
+def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
+                     channels_first):
+    tmodel.train()
+    optim = torch.optim.Adam(
+        tmodel.parameters(), lr=lr, weight_decay=wd
+    )
+    for i, (pts, lbl) in enumerate(batches):
+        optim.zero_grad()
+        t_in = torch.from_numpy(pts)
+        if channels_first:
+            t_in = t_in.permute(0, 2, 1)
+        logp, trans = tmodel(t_in)
+        loss = F.nll_loss(
+            logp.reshape(-1, logp.shape[-1]),
+            torch.from_numpy(lbl).long().reshape(-1),
+        )
+        if trans is not None:
+            d = trans.shape[-1]
+            eye = torch.eye(d)[None]
+            loss = loss + 1e-3 * torch.mean(
+                torch.norm(torch.bmm(trans, trans.transpose(2, 1)) - eye,
+                           dim=(1, 2)) ** 2
+            )
+        loss.backward()
+        optim.step()
+        if i % 50 == 0:
+            print(f"  [torch] step {i} loss {float(loss.detach()):.4f}",
+                  flush=True)
+    tmodel.eval()
+    preds = []
+    with torch.no_grad():
+        B = batches[0][0].shape[0]
+        for s in range(0, len(eval_pts), B):
+            chunk = torch.from_numpy(eval_pts[s : s + B])
+            if channels_first:
+                chunk = chunk.permute(0, 2, 1)
+            logp, _ = tmodel(chunk)
+            preds.append(logp.argmax(-1).numpy())
+    return np.concatenate(preds), float(loss.detach())
+
+
+# -------------------------------------------------------------------- metrics
+
+
+def miou_of(preds, labels, num_classes):
+    ious = []
+    for c in range(num_classes):
+        inter = np.sum((preds == c) & (labels == c))
+        union = np.sum((preds == c) | (labels == c))
+        if union > 0:
+            ious.append(inter / union)
+    return float(np.mean(ious))
+
+
+def run_cls(n_steps):
+    num_classes, N, B = 8, 256, 24
+    train_ds = SyntheticModelNet("train", num_point=N,
+                                 num_classes=num_classes, size=512)
+    test_ds = SyntheticModelNet("test", num_point=N,
+                                num_classes=num_classes, size=256)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
+
+    torch.manual_seed(0)
+    tmodel = models_torch.PointNetCls(num_classes=num_classes)
+    variables = CONVERTERS["pointnet_cls"](_state_dict_np(tmodel))
+    model = get_model("pointnet_cls", num_classes=num_classes)
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "cls", 1e-3, 1e-4)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "cls", 1e-3, 1e-4, channels_first=True)
+    jacc = float(np.mean(jp == eval_lbl))
+    tacc = float(np.mean(tp == eval_lbl))
+    return {
+        "case": "pointnet_cls", "steps": n_steps,
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "delta": abs(jacc - tacc),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005,
+    }
+
+
+def run_semseg(n_steps):
+    num_classes, N, B = 6, 1024, 4
+    train_ds = SyntheticScene("train", num_point=N,
+                              num_classes=num_classes, size=128)
+    test_ds = SyntheticScene("test", num_point=N,
+                             num_classes=num_classes, size=32)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.stack([test_ds[i][1] for i in range(len(test_ds))])
+
+    torch.manual_seed(1)
+    tmodel = models_torch.PointNet2SemSeg(num_classes=num_classes, channel=9)
+    variables = CONVERTERS["pointnet2_semseg"](_state_dict_np(tmodel))
+    model = get_model("pointnet2_semseg", num_classes=num_classes, impl="jnp")
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "seg", 1e-3, 1e-4)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "seg", 1e-3, 1e-4, channels_first=False)
+    jacc = float(np.mean(jp == eval_lbl))
+    tacc = float(np.mean(tp == eval_lbl))
+    jmiou = miou_of(jp.ravel(), eval_lbl.ravel(), num_classes)
+    tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes)
+    return {
+        "case": "pointnet2_semseg", "steps": n_steps,
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "jax_miou": jmiou, "torch_miou": tmiou,
+        "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005
+        and abs(jmiou - tmiou) <= 0.005,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--case", choices=["cls", "semseg"], required=True)
+    p.add_argument("--steps", type=int, default=None)
+    args = p.parse_args(argv)
+    torch.set_num_threads(1)  # 1-core box; avoid thrash with the jax run
+    if args.case == "cls":
+        out = run_cls(args.steps or 1500)
+    else:
+        out = run_semseg(args.steps or 240)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

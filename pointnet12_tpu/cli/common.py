@@ -122,9 +122,12 @@ def run_training(args, task: str):
 
     class_weight = None
     if task == "seg" and getattr(args, "class_weights", False):
-        # reference lineage: label weights from train-set frequency
+        # reference lineage: label weights from FULL train-set frequency (a
+        # small sample materially skews rare-class weights at 13-20 classes);
+        # --class_weight_samples caps the scan for huge datasets.
+        n_scan = getattr(args, "class_weight_samples", 0) or len(train_ds)
         counts = np.zeros(num_classes, np.float64)
-        for i in range(min(len(train_ds), 64)):  # sampled estimate
+        for i in range(min(len(train_ds), n_scan)):
             counts += np.bincount(
                 np.asarray(train_ds[i][1]).ravel(), minlength=num_classes
             )
@@ -232,19 +235,33 @@ def evaluate(
     padded tail batch (``Feeder(pad_last=True)``) and ignore-class masking
     aggregate exactly over the whole dataset.
     """
-    total_loss, total_correct, total_count = 0.0, 0.0, 0.0
-    cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+    # Accumulate entirely on-device: each float() is a blocking D2H roundtrip
+    # through the (high-latency) axon relay, so sync ONCE per epoch instead
+    # of four scalars per batch (VERDICT r2 item 7).
+    acc = None
     for batch in feeder:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         m = eval_step(state, batch)
-        count = float(m["count"])
-        total_loss += float(m["loss"]) * count
-        total_correct += float(m["accuracy"]) * count
-        cm = cm + m["confusion"]
-        total_count += count
-    total_count = max(total_count, 1.0)
+        contrib = {
+            "loss_sum": m["loss"] * m["count"],
+            "correct_sum": m["accuracy"] * m["count"],
+            "count": m["count"],
+            "confusion": m["confusion"],
+        }
+        acc = contrib if acc is None else jax.tree.map(jnp.add, acc, contrib)
+    if acc is None:
+        acc = {
+            "loss_sum": 0.0,
+            "correct_sum": 0.0,
+            "count": 0.0,
+            "confusion": jnp.zeros((num_classes, num_classes), jnp.float32),
+        }
+    acc = jax.device_get(acc)  # the single host sync
+    total_count = max(float(acc["count"]), 1.0)
+    total_loss, total_correct = float(acc["loss_sum"]), float(acc["correct_sum"])
+    cm = acc["confusion"]
     out = {
         "eval_loss": total_loss / total_count,
         "accuracy": total_correct / total_count,
@@ -297,6 +314,9 @@ def add_common_args(parser, task: str):
                              "(fixes bf16 EMA-lag eval collapse)")
     parser.add_argument("--class_weights", action="store_true",
                         help="inverse-frequency class weights in the seg loss")
+    parser.add_argument("--class_weight_samples", type=int, default=0,
+                        help="cap the label-frequency scan for --class_weights "
+                             "to N samples (0 = the full train set)")
     if task == "seg":
         parser.add_argument(
             "--ignore_class", type=int, default=None,

@@ -71,8 +71,14 @@ def recompute_batch_stats(
 
     sum_mean = None  # accumulates mean_b (for "mean") and var_b + mean_b^2 (for "var")
     n = 0
-    means_per_batch = []  # var leaves need the sibling mean; accumulate both
-    for batch in feeder:
+    # stat_batches does not advance the feeder's epoch counter, so the
+    # training shuffle/augmentation stream is unaffected by this pass.
+    batches = (
+        feeder.stat_batches(num_batches)
+        if hasattr(feeder, "stat_batches")
+        else feeder
+    )
+    for batch in batches:
         if n >= num_batches:
             break
         bstats = stats_of(

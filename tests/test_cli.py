@@ -1,10 +1,11 @@
 """CLI integration tests: train -> evaluate -> visualize on tiny synthetic
 data (CPU). Mirrors the reference's script-level usage (SURVEY.md §3.1).
 
-Batch sizes here are deliberately NOT divisible by the 8 virtual devices so
-the runs take the single-device path: XLA's in-process CPU collectives are
-flaky under pytest (rendezvous aborts); DP semantics are covered by
-test_sharding.py with one small program."""
+Most runs use batch sizes NOT divisible by the 8 virtual devices and take
+the single-device path; test_train_cls_cli_data_parallel exercises
+run_training's mesh branch end-to-end (divisible batchsize -> DP shardings,
+padded-tail masked eval under sharding). The round-1 "CPU collectives are
+flaky under pytest" concern was re-tested in round 3 and did not reproduce."""
 
 import glob
 import json
@@ -39,6 +40,38 @@ def test_train_cls_cli_end_to_end(tmp_path):
     assert len(records) == 2 and "accuracy" in records[0]
     # checkpoints written
     assert glob.glob(f"{exp}/checkpoints/*")
+
+
+def test_train_cls_cli_data_parallel(tmp_path):
+    """run_training's mesh branch end-to-end: batchsize 24 divides the 8
+    virtual devices, so the CLI shards batches over the data axis; the test
+    set (512) leaves a padded tail (512 % 24 = 8) whose mask must carry
+    through the sharded eval so the confusion total equals the dataset size
+    (VERDICT r2 item 5)."""
+    from pointnet12_tpu.cli import train_cls
+
+    best = train_cls.main(
+        [
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--epoch", "1",
+            "--batchsize", "24",
+            "--num_point", "64",
+            "--num_classes", "4",
+            "--log_dir", str(tmp_path),
+            "--no-augment",
+        ]
+    )
+    assert 0.0 <= best <= 1.0
+    exp = glob.glob(str(tmp_path / "cls-pointnet-*"))[0]
+    log = open(f"{exp}/logs/train.txt").read()
+    assert "not divisible" not in log  # the mesh branch, not the fallback
+    records = [
+        json.loads(line) for line in open(f"{exp}/logs/metrics.jsonl")
+    ]
+    # full-set eval under DP sharding: every one of the 512 test samples
+    # (including the padded tail batch) was counted exactly once
+    assert records[0]["eval_count"] == 512
 
 
 def test_train_evaluate_visualize_roundtrip(tmp_path):

@@ -72,6 +72,46 @@ def test_feeder_shuffles_across_epochs():
     assert not all(np.array_equal(a, b) for a, b in zip(e1, e2))
 
 
+def test_feeder_prefetch_propagates_worker_exception():
+    """A raise inside the prefetch worker (bad file, augment bug) must
+    surface in the consumer, not silently truncate the epoch."""
+    import pytest
+
+    ds = SyntheticModelNet("train", num_point=16, num_classes=4, size=32)
+
+    calls = []
+
+    def bad_augment(points, rng):
+        calls.append(1)
+        if len(calls) >= 3:
+            raise ValueError("corrupt batch")
+        return points
+
+    f = Feeder(ds, 8, augment_fn=bad_augment, prefetch=True)
+    seen = 0
+    with pytest.raises(ValueError, match="corrupt batch"):
+        for _ in f:
+            seen += 1
+    # the two good batches were delivered before the raise surfaced
+    assert seen == 2
+
+
+def test_feeder_stat_batches_do_not_advance_epoch():
+    """precise-BN stat passes must not shift the training shuffle/augment
+    stream (they iterate a side channel, not the epoch iterator)."""
+    ds = SyntheticModelNet("train", num_point=16, num_classes=4, size=32)
+    f = Feeder(ds, 8, shuffle=True, prefetch=False)
+    e1 = [b["label"] for b in f]  # epoch 0
+    g = Feeder(ds, 8, shuffle=True, prefetch=False)
+    _ = [b["label"] for b in g]  # epoch 0
+    stats = list(g.stat_batches(2))  # must NOT bump g's epoch counter
+    assert len(stats) == 2 and stats[0]["points"].shape == (8, 16, 3)
+    e2_f = [b["label"] for b in f]  # f: epoch 1
+    e2_g = [b["label"] for b in g]  # g: epoch 1 — identical iff no bump
+    for a, b in zip(e2_f, e2_g):
+        np.testing.assert_array_equal(a, b)
+
+
 # ----------------------------------------------------------- augmentations
 
 
