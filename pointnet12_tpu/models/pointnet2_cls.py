@@ -54,6 +54,7 @@ class PointNet2ClsSSG(nn.Module):
     num_classes: int = 40
     impl: str = "auto"
     dtype: Any = jnp.float32
+    grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
 
     @nn.compact
     def __call__(
@@ -66,10 +67,12 @@ class PointNet2ClsSSG(nn.Module):
         if feats.shape[-1] == 0:
             feats = None
         xyz, feats = SetAbstraction(
-            512, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype, name="sa1"
+            512, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype,
+            grouped_dtype=self.grouped_dtype, name="sa1"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstraction(
-            128, 0.4, 64, [128, 128, 256], impl=self.impl, dtype=self.dtype, name="sa2"
+            128, 0.4, 64, [128, 128, 256], impl=self.impl, dtype=self.dtype,
+            grouped_dtype=self.grouped_dtype, name="sa2"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
             mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
@@ -84,6 +87,7 @@ class PointNet2ClsMSG(nn.Module):
     num_classes: int = 40
     impl: str = "auto"
     dtype: Any = jnp.float32
+    grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
 
     @nn.compact
     def __call__(
@@ -102,6 +106,7 @@ class PointNet2ClsMSG(nn.Module):
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
             impl=self.impl,
             dtype=self.dtype,
+            grouped_dtype=self.grouped_dtype,
             name="sa1",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstractionMSG(
@@ -111,6 +116,7 @@ class PointNet2ClsMSG(nn.Module):
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
             impl=self.impl,
             dtype=self.dtype,
+            grouped_dtype=self.grouped_dtype,
             name="sa2",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(

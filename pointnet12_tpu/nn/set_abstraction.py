@@ -39,6 +39,12 @@ class SetAbstraction(nn.Module):
     group_all: bool = False
     impl: str = "auto"
     dtype: Any = jnp.float32
+    # Selective precision: dtype for the grouped (B, S, K, C) activation
+    # stack only (the SA layers' HBM bottleneck). None = follow ``dtype``.
+    # With grouped_dtype=bf16 and dtype=fp32 the grouped tensors store/compute
+    # bf16 while the layer's (B, S, C) output — and everything outside the SA
+    # stacks — stays fp32 (VERDICT r2 item 4's middle ground).
+    grouped_dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -64,10 +70,11 @@ class SetAbstraction(nn.Module):
         # lifted first matmul: one gather instead of two, no grouped
         # (B, S, K, 3+D) input tensor; pool=True does the K-max in-module
         # (pre-ReLU, so the last grouped activation skips the ReLU pass).
+        gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
         x = GroupedSharedMLP(
-            self.mlp, dtype=self.dtype, pool=True, name="mlp"
+            self.mlp, dtype=gd, pool=True, name="mlp"
         )(xyz, feats, new_xyz, group_idx, train=train)
-        return new_xyz, x
+        return new_xyz, x.astype(self.dtype)
 
 
 class SetAbstractionMSG(nn.Module):
@@ -79,6 +86,7 @@ class SetAbstractionMSG(nn.Module):
     mlp_list: Sequence[Sequence[int]]
     impl: str = "auto"
     dtype: Any = jnp.float32
+    grouped_dtype: Any = None  # see SetAbstraction.grouped_dtype
 
     @nn.compact
     def __call__(
@@ -93,6 +101,7 @@ class SetAbstractionMSG(nn.Module):
         )
         new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
 
+        gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
         branch_outs = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
@@ -101,7 +110,7 @@ class SetAbstractionMSG(nn.Module):
                 radius, nsample, xyz, new_xyz, impl=self.impl
             )
             x = GroupedSharedMLP(
-                mlp, dtype=self.dtype, pool=True, name=f"branch_{i}"
+                mlp, dtype=gd, pool=True, name=f"branch_{i}"
             )(xyz, feats, new_xyz, group_idx, train=train)
-            branch_outs.append(x)
+            branch_outs.append(x.astype(self.dtype))
         return new_xyz, jnp.concatenate(branch_outs, axis=-1)
