@@ -223,28 +223,15 @@ def _take1(arr2d, idx2d):
     return out.reshape(idx2d.shape)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
-def ballquery_grid(
-    radius: float,
-    nsample: int,
-    xyz: jnp.ndarray,
-    new_xyz: jnp.ndarray,
-    *,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Exact ball query via voxel binning. Same contract as ballquery_pallas."""
+def grid_prep(radius, xyz, new_xyz, *, interpret=False):
+    """XLA-side prep shared by the grid BQ kernel and the fused eval-SA
+    kernel: voxel binning, cell-sort (payload-carrying), offsets table,
+    per-tile window bases + overflow flags. Returns a dict; see body."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    if S % (TQ * TB) != 0 or N % WIN != 0 or N < R_W * WIN:
-        return ballquery_pallas(
-            radius, nsample, xyz, new_xyz, interpret=interpret
-        )
     T = S // TQ
     n_blocks = N // WIN
-    xyz = xyz.astype(jnp.float32)
-    new_xyz = new_xyz.astype(jnp.float32)
 
-    # ---- XLA side: bin, sort, offsets, per-tile window bases --------------
     lo = jnp.min(xyz, axis=1, keepdims=True)
     hi = jnp.max(xyz, axis=1, keepdims=True)
     extent = jnp.max(hi - lo, axis=-1, keepdims=True)
@@ -300,6 +287,36 @@ def ballquery_grid(
     blocks = b_lo  # (B, T, 3)
 
     oidx = perm[:, None, :]  # (B, 1, N) original indices
+    return {
+        "blocks": blocks, "ovf": ovf, "sq_tiles": sq_tiles, "spT": spT,
+        "oidx": oidx, "perm": perm, "qperm": qperm, "iota_s": iota_s,
+        "sq_xyz": (sqx, sqy, sqz), "T": T,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
+def ballquery_grid(
+    radius: float,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact ball query via voxel binning. Same contract as ballquery_pallas."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    if S % (TQ * TB) != 0 or N % WIN != 0 or N < R_W * WIN:
+        return ballquery_pallas(
+            radius, nsample, xyz, new_xyz, interpret=interpret
+        )
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    g = grid_prep(radius, xyz, new_xyz, interpret=interpret)
+    blocks, ovf, sq_tiles, spT, oidx, T = (
+        g["blocks"], g["ovf"], g["sq_tiles"], g["spT"], g["oidx"], g["T"]
+    )
+    qperm, iota_s = g["qperm"], g["iota_s"]
 
     out_sorted = pl.pallas_call(
         functools.partial(

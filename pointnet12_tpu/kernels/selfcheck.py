@@ -84,6 +84,18 @@ def assert_match(name, got, ref, ok_mask=None):
     _COLLECTOR["items"].append((name, jnp.sum(bad.astype(jnp.int32))))
 
 
+def assert_close(name, got, ref, ok_mask=None, atol=1e-3):
+    """Float variant of :func:`assert_match`: counts off-mask elements with
+    ``|got - ref| > atol`` (fused kernels reassociate matmuls, so exact
+    equality is the wrong bar)."""
+    if not collecting():
+        return
+    bad = jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)) > atol
+    if ok_mask is not None:
+        bad = jnp.logical_and(bad, ok_mask)
+    _COLLECTOR["items"].append((name, jnp.sum(bad.astype(jnp.int32))))
+
+
 def raise_if_any(counts) -> None:
     """Host-side: raise on the first nonzero mismatch count."""
     for name, c in counts.items():

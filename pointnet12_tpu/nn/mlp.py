@@ -292,7 +292,19 @@ class GroupedSharedMLP(nn.Module):
     pool: bool = False  # max over K (pre-ReLU) after the last layer
 
     @nn.compact
-    def __call__(self, xyz, feats, new_xyz, group_idx, train: bool = False):
+    def __call__(
+        self,
+        xyz,
+        feats,
+        new_xyz,
+        group_idx,
+        train: bool = False,
+        fused_bq=None,
+    ):
+        """``fused_bq=(radius, nsample)`` takes the fused eval-SA kernel
+        path (kernels/fused_sa_eval.py): ball query + gather + folded MLP +
+        K-max in one Pallas call, ``group_idx`` unused (pass None). Only
+        valid in eval mode with ``pool=True``."""
         pts = (
             xyz
             if feats is None
@@ -307,6 +319,9 @@ class GroupedSharedMLP(nn.Module):
         dense0(jnp.zeros((1, pts.shape[-1]), jnp.float32))  # create params
         kernel = dense0.variables["params"]["kernel"]  # (3+D, C1) fp32
         bias = dense0.variables["params"]["bias"]
+        if fused_bq is not None:
+            assert not train and self.pool
+            return self._fused_eval(pts, new_xyz, kernel, bias, fused_bq)
         fold = not train  # eval-only folding, see _folded_dense_bn
         if fold:
             # fold eval bn_0 straight into the lifted dense0 weights: with
@@ -377,6 +392,71 @@ class GroupedSharedMLP(nn.Module):
                 x = jnp.max(x, axis=2)
             x = nn.relu(x)
         return x
+
+
+    def _fused_eval(self, pts, new_xyz, kernel, bias, fused_bq):
+        """Fused eval path: fold bn_0 into the lifted dense0, fold bn_i into
+        dense_i columns, and run BQ + selection-gather + MLP + K-max in one
+        Pallas kernel. Declares dense_i/bn_i in the SAME order as the
+        unfused path, so the variable tree (and checkpoints) are identical.
+        """
+        from pointnet12_tpu.kernels.fused_sa_eval import (
+            fused_sa_eval_dense,
+            fused_sa_eval_grid,
+            fused_sa_eval_ref,
+        )
+
+        radius, nsample = fused_bq
+        hp = jax.lax.Precision.HIGHEST
+        zeros0 = jnp.zeros((self.features[0],), jnp.float32)
+        s0, b0 = MomentBN(name="bn_0")(zeros0, zeros0, False)
+        kernel0 = kernel * s0[None, :]
+        bias0 = bias * s0 + b0
+        ptsf = pts.astype(jnp.float32)
+        xyz = ptsf[..., :3]
+        q = new_xyz.astype(jnp.float32)
+        # fp32 HIGHEST: the kernel computes w[idx] - t (cancellation of two
+        # large lifted values), same precision care as the lifted train path
+        w = (
+            jax.lax.dot_general(
+                ptsf, kernel0, (((2,), (0,)), ((), ())), precision=hp
+            )
+            + bias0
+        )
+        t = jax.lax.dot_general(
+            q, kernel0[:3], (((2,), (0,)), ((), ())), precision=hp
+        )
+        layers = []
+        prev_w = self.features[0]
+        for i, width in enumerate(self.features[1:], start=1):
+            dense = nn.Dense(
+                width,
+                name=f"dense_{i}",
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+            )
+            dense(jnp.zeros((1, prev_w), jnp.float32))  # create params
+            kern = dense.variables["params"]["kernel"].astype(jnp.float32)
+            bs = dense.variables["params"]["bias"].astype(jnp.float32)
+            zz = jnp.zeros((width,), jnp.float32)
+            si, bi = MomentBN(name=f"bn_{i}")(zz, zz, False)
+            layers.append((kern * si[None, :], bs * si + bi))
+            prev_w = width
+        N, S = xyz.shape[1], q.shape[1]
+        use_grid = N >= 2048 and N % 128 == 0 and S % 128 == 0
+        kernel_fn = fused_sa_eval_grid if use_grid else fused_sa_eval_dense
+        out = kernel_fn(
+            radius, nsample, xyz, q, w, t, tuple(layers),
+            # force-enabled on CPU (tests): run the kernel interpreted
+            interpret=jax.default_backend() != "tpu",
+        )
+        from pointnet12_tpu.kernels import selfcheck
+
+        if selfcheck.collecting():
+            ref = fused_sa_eval_ref(radius, nsample, xyz, q, w, t, tuple(layers))
+            ok = selfcheck.boundary_ok_mask(radius, xyz, q)[..., None]
+            selfcheck.assert_close("fused_sa_eval", out, ref, ok, atol=5e-3)
+        return out.astype(self.dtype)
 
 
 class SharedMLP(nn.Module):

@@ -25,6 +25,26 @@ from pointnet12_tpu.ops.gather import index_points
 from pointnet12_tpu.ops.grouping import sample_and_group_all
 
 
+def _fused_eval_ok(impl: str, n: int, s: int, mlp, train: bool) -> bool:
+    """Fused eval-SA kernel dispatch (kernels/fused_sa_eval.py): eval mode,
+    Pallas enabled, and either (a) shapes where the dense all-N candidate
+    scan is cheap (inner SA layers / MSG branches, N <= 1024) or (b) SA1
+    shapes where the grid-windowed variant applies (N >= 2048, S % 128)."""
+    if train or impl == "jnp":
+        return False
+    if impl == "auto":
+        from pointnet12_tpu.kernels import dispatch
+
+        if not dispatch.pallas_enabled():
+            return False
+    if s < 8 or len(mlp) < 2:
+        return False
+    dense_ok = n <= 1024
+    grid_ok = n >= 2048 and n % 128 == 0 and s % 128 == 0
+    return dense_ok or grid_ok
+
+
+
 class SetAbstraction(nn.Module):
     """Single-scale-grouping SA layer (or the final group-all layer).
 
@@ -64,13 +84,22 @@ class SetAbstraction(nn.Module):
             xyz, self.npoint, key=fps_key, impl=self.impl
         )
         new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+        gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
+        if _fused_eval_ok(self.impl, xyz.shape[1], self.npoint, self.mlp, train):
+            # serving fast path: BQ + selection-matmul gather + folded MLP +
+            # K-max in ONE kernel (kernels/fused_sa_eval.py) — the grouped
+            # (B, S, K, C) tensor never leaves VMEM.
+            x = GroupedSharedMLP(
+                self.mlp, dtype=gd, pool=True, name="mlp"
+            )(xyz, feats, new_xyz, None, train=False,
+              fused_bq=(self.radius, self.nsample))
+            return new_xyz, x.astype(self.dtype)
         group_idx = query_ball_point(
             self.radius, self.nsample, xyz, new_xyz, impl=self.impl
         )
         # lifted first matmul: one gather instead of two, no grouped
         # (B, S, K, 3+D) input tensor; pool=True does the K-max in-module
         # (pre-ReLU, so the last grouped activation skips the ReLU pass).
-        gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
         x = GroupedSharedMLP(
             self.mlp, dtype=gd, pool=True, name="mlp"
         )(xyz, feats, new_xyz, group_idx, train=train)
@@ -102,15 +131,24 @@ class SetAbstractionMSG(nn.Module):
         new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
 
         gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
+        fused = _fused_eval_ok(
+            self.impl, xyz.shape[1], self.npoint, self.mlp_list[0], train
+        )
         branch_outs = []
         for i, (radius, nsample, mlp) in enumerate(
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
-            group_idx = query_ball_point(
-                radius, nsample, xyz, new_xyz, impl=self.impl
-            )
-            x = GroupedSharedMLP(
-                mlp, dtype=gd, pool=True, name=f"branch_{i}"
-            )(xyz, feats, new_xyz, group_idx, train=train)
+            if fused:
+                x = GroupedSharedMLP(
+                    mlp, dtype=gd, pool=True, name=f"branch_{i}"
+                )(xyz, feats, new_xyz, None, train=False,
+                  fused_bq=(radius, nsample))
+            else:
+                group_idx = query_ball_point(
+                    radius, nsample, xyz, new_xyz, impl=self.impl
+                )
+                x = GroupedSharedMLP(
+                    mlp, dtype=gd, pool=True, name=f"branch_{i}"
+                )(xyz, feats, new_xyz, group_idx, train=train)
             branch_outs.append(x.astype(self.dtype))
         return new_xyz, jnp.concatenate(branch_outs, axis=-1)

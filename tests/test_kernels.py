@@ -288,3 +288,111 @@ def test_three_interpolate_custom_vjp_matches_autodiff():
     # d dists runs through 1/(d+1e-8)^2 — magnitudes near 1e16 when a fine
     # point coincides with a coarse one — so reassociation noise is larger
     np.testing.assert_allclose(np.asarray(gd_c), np.asarray(gd_p), rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "n,s,k,c1,mlp",
+    [
+        (256, 64, 16, 32, (32, 64)),    # generic
+        (1024, 256, 32, 64, (64, 128)), # semseg SA2 shape
+        (64, 16, 32, 256, (256, 512)),  # semseg SA4 (K > in-radius counts)
+    ],
+)
+def test_fused_sa_eval_dense_matches_ref(n, s, k, c1, mlp):
+    """Fused eval-SA kernel (BQ + selection-matmul gather + folded MLP +
+    K-max in one kernel) vs the composed-ops reference, off-boundary."""
+    from pointnet12_tpu.kernels.fused_sa_eval import (
+        fused_sa_eval_dense,
+        fused_sa_eval_ref,
+    )
+
+    rng = np.random.RandomState(11)
+    xyz = jnp.asarray(rng.uniform(size=(2, n, 3)).astype(np.float32))
+    sel = rng.choice(n, size=(2, s), replace=False)
+    new_xyz = index_points(xyz, jnp.asarray(sel, jnp.int32))
+    w = jnp.asarray(rng.randn(2, n, c1).astype(np.float32) * 0.3)
+    t = jnp.asarray(rng.randn(2, s, c1).astype(np.float32) * 0.1)
+    layers, ci = [], c1
+    for co in mlp:
+        layers.append(
+            (
+                jnp.asarray(rng.randn(ci, co).astype(np.float32) * 0.2),
+                jnp.asarray(rng.randn(co).astype(np.float32) * 0.1),
+            )
+        )
+        ci = co
+    layers = tuple(layers)
+    radius = 0.3
+    ref = fused_sa_eval_ref(radius, k, xyz, new_xyz, w, t, layers)
+    got = fused_sa_eval_dense(
+        radius, k, xyz, new_xyz, w, t, layers, interpret=True
+    )
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    err = np.abs(np.asarray(ref - got))[ok].max()
+    assert err < 5e-4, err
+
+
+def test_fused_sa_eval_module_path_matches_unfused():
+    """GroupedSharedMLP's fused eval path (fused_bq=...) vs the unfused
+    eval path with the same params, off-boundary rows equal."""
+    import jax
+
+    from pointnet12_tpu.nn.mlp import GroupedSharedMLP
+    from pointnet12_tpu.ops.ballquery import query_ball_point
+
+    rng = np.random.RandomState(3)
+    xyz = jnp.asarray(rng.uniform(size=(2, 512, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 512, 6).astype(np.float32))
+    new_xyz = xyz[:, ::4, :]  # 128 centers, members of the cloud
+    radius, nsample = 0.25, 16
+
+    mlp = GroupedSharedMLP([32, 32, 64], pool=True)
+    group_idx = query_ball_point(radius, nsample, xyz, new_xyz, impl="jnp")
+    key = jax.random.PRNGKey(0)
+    variables = mlp.init(
+        {"params": key}, xyz, feats, new_xyz, group_idx, train=False
+    )
+    out_u = mlp.apply(variables, xyz, feats, new_xyz, group_idx, train=False)
+    out_f = mlp.apply(
+        variables, xyz, feats, new_xyz, None, train=False,
+        fused_bq=(radius, nsample),
+    )
+    assert out_u.shape == out_f.shape == (2, 128, 64)
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    err = np.abs(np.asarray(out_u - out_f))[ok].max()
+    assert err < 5e-4, err
+
+
+def test_fused_sa_eval_grid_matches_ref():
+    """Grid-windowed fused eval SA (SA1 shapes) vs composed-ops reference,
+    off-boundary. Includes a clustered cloud so the per-tile overflow
+    rescan path (full-N value-match gather) is exercised."""
+    from pointnet12_tpu.kernels.fused_sa_eval import (
+        fused_sa_eval_grid,
+        fused_sa_eval_ref,
+    )
+
+    rng = np.random.RandomState(5)
+    B, n, s, k, c1 = 2, 512, 128, 8, 16
+    xyz = rng.uniform(size=(B, n, 3)).astype(np.float32)
+    # cloud 1: 3/4 of points collapsed into one corner -> window overflow
+    xyz[1, : 3 * n // 4] = 0.05 * rng.uniform(size=(3 * n // 4, 3))
+    xyz = jnp.asarray(xyz)
+    sel = rng.choice(n, size=(B, s), replace=False)
+    new_xyz = index_points(xyz, jnp.asarray(sel, jnp.int32))
+    w = jnp.asarray(rng.randn(B, n, c1).astype(np.float32) * 0.3)
+    t = jnp.asarray(rng.randn(B, s, c1).astype(np.float32) * 0.1)
+    layers = (
+        (jnp.asarray(rng.randn(c1, 16).astype(np.float32) * 0.2),
+         jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)),
+        (jnp.asarray(rng.randn(16, 32).astype(np.float32) * 0.2),
+         jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)),
+    )
+    radius = 0.25
+    ref = fused_sa_eval_ref(radius, k, xyz, new_xyz, w, t, layers)
+    got = fused_sa_eval_grid(
+        radius, k, xyz, new_xyz, w, t, layers, interpret=True
+    )
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    err = np.abs(np.asarray(ref - got))[ok].max()
+    assert err < 5e-4, err
