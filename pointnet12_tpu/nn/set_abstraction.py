@@ -26,17 +26,20 @@ from pointnet12_tpu.ops.grouping import sample_and_group_all
 
 
 def _fused_eval_ok(impl: str, n: int, s: int, mlp, train: bool) -> bool:
-    """Fused eval-SA kernel dispatch (kernels/fused_sa_eval.py): eval mode,
-    Pallas enabled, and either (a) shapes where the dense all-N candidate
-    scan is cheap (inner SA layers / MSG branches, N <= 1024) or (b) SA1
-    shapes where the grid-windowed variant applies (N >= 2048, S % 128)."""
-    if train or impl == "jnp":
-        return False
-    if impl == "auto":
-        from pointnet12_tpu.kernels import dispatch
+    """Fused eval-SA kernel dispatch (kernels/fused_sa_eval.py).
 
-        if not dispatch.pallas_enabled():
-            return False
+    OPT-IN ONLY (``impl="fused"``), measured dead end for auto dispatch:
+    the one-hot selection-matmul gather is MXU-tile-count bound — the
+    contraction spans ALL candidates (1152 grid-window rows / all N dense)
+    for only K=32 selected, a 36x waste, and the per-tile matmuls are
+    latency-shaped (2048 small (256,1152)x(1152,33) calls/step). Profiled
+    on-chip (round 3): fused flagship eval 12.6 ms vs 6.7 ms unfused
+    (fused_sa_eval_grid alone 8.0 ms vs 1.9 ms grid BQ + 0.9 ms XLA
+    gather it replaces). Kernels stay correct (verified <=2e-5 at SA1-SA4
+    shapes on-chip) for shapes where cw/K is small or future dynamic-gather
+    Mosaic support. See docs/PERFORMANCE.md dead-end log."""
+    if train or impl != "fused":
+        return False
     if s < 8 or len(mlp) < 2:
         return False
     dense_ok = n <= 1024
@@ -74,6 +77,9 @@ class SetAbstraction(nn.Module):
         train: bool = False,
         fps_key: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # impl="fused" opts into the fused eval-SA kernels; the point ops
+        # underneath keep their auto dispatch.
+        ops_impl = "auto" if self.impl == "fused" else self.impl
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, feats)
             x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
@@ -81,7 +87,7 @@ class SetAbstraction(nn.Module):
             )
             return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
         fps_idx = farthest_point_sample(
-            xyz, self.npoint, key=fps_key, impl=self.impl
+            xyz, self.npoint, key=fps_key, impl=ops_impl
         )
         new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         gd = self.grouped_dtype if self.grouped_dtype is not None else self.dtype
@@ -95,7 +101,7 @@ class SetAbstraction(nn.Module):
               fused_bq=(self.radius, self.nsample))
             return new_xyz, x.astype(self.dtype)
         group_idx = query_ball_point(
-            self.radius, self.nsample, xyz, new_xyz, impl=self.impl
+            self.radius, self.nsample, xyz, new_xyz, impl=ops_impl
         )
         # lifted first matmul: one gather instead of two, no grouped
         # (B, S, K, 3+D) input tensor; pool=True does the K-max in-module
@@ -125,8 +131,9 @@ class SetAbstractionMSG(nn.Module):
         train: bool = False,
         fps_key: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ops_impl = "auto" if self.impl == "fused" else self.impl
         fps_idx = farthest_point_sample(
-            xyz, self.npoint, key=fps_key, impl=self.impl
+            xyz, self.npoint, key=fps_key, impl=ops_impl
         )
         new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
 
@@ -145,7 +152,7 @@ class SetAbstractionMSG(nn.Module):
                   fused_bq=(radius, nsample))
             else:
                 group_idx = query_ball_point(
-                    radius, nsample, xyz, new_xyz, impl=self.impl
+                    radius, nsample, xyz, new_xyz, impl=ops_impl
                 )
                 x = GroupedSharedMLP(
                     mlp, dtype=gd, pool=True, name=f"branch_{i}"
