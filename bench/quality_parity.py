@@ -198,8 +198,11 @@ def miou_of(preds, labels, num_classes):
     return float(np.mean(ious))
 
 
-def run_cls(n_steps):
-    num_classes, N, B = 8, 256, 24
+def run_cls(n_steps, hard=False):
+    """``hard=True``: 24 classes at N=96 points — the task stops saturating
+    (plateau ~0.9), so a real quality gap between the stacks would be
+    visible in the final accuracy rather than hidden at 100%."""
+    num_classes, N, B = (24, 96, 24) if hard else (8, 256, 24)
     train_ds = SyntheticModelNet("train", num_point=N,
                                  num_classes=num_classes, size=512)
     test_ds = SyntheticModelNet("test", num_point=N,
@@ -220,7 +223,8 @@ def run_cls(n_steps):
     jacc = float(np.mean(jp == eval_lbl))
     tacc = float(np.mean(tp == eval_lbl))
     return {
-        "case": "pointnet_cls", "steps": n_steps,
+        "case": "pointnet_cls_hard" if hard else "pointnet_cls",
+        "steps": n_steps,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
         "delta": abs(jacc - tacc),
         "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
@@ -264,12 +268,15 @@ def run_semseg(n_steps):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--case", choices=["cls", "semseg"], required=True)
+    p.add_argument("--case", choices=["cls", "cls_hard", "semseg"],
+                   required=True)
     p.add_argument("--steps", type=int, default=None)
     args = p.parse_args(argv)
     torch.set_num_threads(1)  # 1-core box; avoid thrash with the jax run
     if args.case == "cls":
         out = run_cls(args.steps or 1500)
+    elif args.case == "cls_hard":
+        out = run_cls(args.steps or 2000, hard=True)
     else:
         out = run_semseg(args.steps or 240)
     print(json.dumps(out))
