@@ -65,12 +65,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
 from pointnet12_tpu.ops.gather import index_points
 
-G = 8  # grid resolution per dimension (8^3 = 512 cells)
+G = 8  # default grid resolution per dimension (8^3 = 512 cells)
 H = G * G * G
 TQ = 8  # queries per tile (== f32 sublane count; bounds the id span)
 TB = 16  # tiles per grid step (TB*TQ = 128 query rows per step)
 WIN = 128  # window width == Mosaic lane alignment
-R_W = 3  # consecutive aligned windows read per dx-range (3 ranges/tile)
+R_W = 3  # default consecutive aligned windows read per dx-range (3 ranges)
 
 
 def _extract_first_k(score, nsample, n_total, rows):
@@ -96,7 +96,7 @@ def _extract_first_k(score, nsample, n_total, rows):
 
 def _grid_kernel(
     blocks_ref, ovf_ref, q_ref, p_ref, oidx_ref, out_ref,
-    *, radius, nsample, n_total, n_tiles,
+    *, radius, nsample, n_total, n_tiles, r_w=R_W,
 ):
     b = pl.program_id(0)
     tb = pl.program_id(1)
@@ -113,14 +113,14 @@ def _grid_kernel(
         xs, ys, zs, oo = [], [], [], []
         for rr in range(3):
             blk = blocks_ref[base + rr]
-            for j in range(R_W):
+            for j in range(r_w):
                 off = pl.multiple_of((blk + j) * WIN, WIN)
                 pj = p_ref[0, :, pl.ds(off, WIN)]  # (3, WIN)
                 xs.append(pj[0:1, :])
                 ys.append(pj[1:2, :])
                 zs.append(pj[2:3, :])
                 oo.append(oidx_ref[0, 0:1, pl.ds(off, WIN)])
-        cxs.append(jnp.concatenate(xs, axis=1))  # (1, 3*R_W*WIN)
+        cxs.append(jnp.concatenate(xs, axis=1))  # (1, 3*r_w*WIN)
         cys.append(jnp.concatenate(ys, axis=1))
         czs.append(jnp.concatenate(zs, axis=1))
         ois.append(jnp.concatenate(oo, axis=1))
@@ -130,7 +130,7 @@ def _grid_kernel(
     qx = jnp.concatenate(qxs, axis=0)  # (TB*TQ, 1)
     qy = jnp.concatenate(qys, axis=0)
     qz = jnp.concatenate(qzs, axis=0)
-    cw = 3 * R_W * WIN
+    cw = 3 * r_w * WIN
     cx = jnp.concatenate(
         [jnp.broadcast_to(c, (TQ, cw)) for c in cxs], axis=0
     )  # (TB*TQ, cw)
@@ -171,21 +171,27 @@ def _grid_kernel(
     lax.fori_loop(0, TB, rescan, 0)
 
 
-_HPAD = 640  # H + 1 = 513 rounded up to a lane multiple
+_HPAD = 640  # default: H + 1 = 513 rounded up to a lane multiple
 
 
-def _cell_offsets_kernel(skey_ref, out_ref, *, n_chunks):
+def _hpad_for(h: int) -> int:
+    return -(-(h + 1) // WIN) * WIN
+
+
+def _cell_offsets_kernel(skey_ref, out_ref, *, n_chunks, hpad):
     """counts[c] = #{i : skey[i] < c} via broadcast-compare accumulation:
-    thresholds on sublanes (640, 1) against 128-lane skey chunks."""
-    thr = lax.broadcasted_iota(jnp.int32, (_HPAD, 1), 0)
-    acc = jnp.zeros((_HPAD, WIN), jnp.int32)
+    thresholds on sublanes (hpad, 1) against 128-lane skey chunks."""
+    thr = lax.broadcasted_iota(jnp.int32, (hpad, 1), 0)
+    acc = jnp.zeros((hpad, WIN), jnp.int32)
     for c in range(n_chunks):
         chunk = skey_ref[0, :, pl.ds(c * WIN, WIN)]  # (1, WIN)
         acc += (chunk < thr).astype(jnp.int32)
-    out_ref[0] = jnp.sum(acc, axis=1, keepdims=True)  # (_HPAD, 1)
+    out_ref[0] = jnp.sum(acc, axis=1, keepdims=True)  # (hpad, 1)
 
 
-def _cell_offsets(skey: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+def _cell_offsets(
+    skey: jnp.ndarray, *, h: int = H, interpret: bool = False
+) -> jnp.ndarray:
     """offsets[b, c] = first position in sorted skey[b] with value >= c, for
     all c in [0, H] (padded to _HPAD; entries past H+1 are unused). The XLA
     compare-reduce form of this cost 0.47 ms/step at the flagship shape
@@ -193,21 +199,22 @@ def _cell_offsets(skey: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     less. jnp.searchsorted (8 ms lowering) and a vectorized binary search
     (12 serialized gather rounds, ~0.5 ms) both lose on v5e."""
     B, N = skey.shape
+    hpad = _hpad_for(h)
     if N % WIN != 0:  # pragma: no cover - caller guarantees alignment
-        c_range = jnp.arange(H + 1, dtype=jnp.int32)
+        c_range = jnp.arange(h + 1, dtype=jnp.int32)
         return jnp.sum(
             (skey[:, None, :] < c_range[None, :, None]).astype(jnp.int32),
             axis=-1,
         )
     out = pl.pallas_call(
-        functools.partial(_cell_offsets_kernel, n_chunks=N // WIN),
+        functools.partial(_cell_offsets_kernel, n_chunks=N // WIN, hpad=hpad),
         grid=(B,),
-        out_shape=jax.ShapeDtypeStruct((B, _HPAD, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, hpad, 1), jnp.int32),
         in_specs=[
             pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, _HPAD, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, hpad, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(skey[:, None, :])
@@ -223,7 +230,7 @@ def _take1(arr2d, idx2d):
     return out.reshape(idx2d.shape)
 
 
-def grid_prep(radius, xyz, new_xyz, *, interpret=False):
+def grid_prep(radius, xyz, new_xyz, *, g_res=G, r_w=R_W, interpret=False):
     """XLA-side prep shared by the grid BQ kernel and the fused eval-SA
     kernel: voxel binning, cell-sort (payload-carrying), offsets table,
     per-tile window bases + overflow flags. Returns a dict; see body."""
@@ -232,12 +239,13 @@ def grid_prep(radius, xyz, new_xyz, *, interpret=False):
     T = S // TQ
     n_blocks = N // WIN
 
+    h_cells = g_res * g_res * g_res
     lo = jnp.min(xyz, axis=1, keepdims=True)
     hi = jnp.max(xyz, axis=1, keepdims=True)
     extent = jnp.max(hi - lo, axis=-1, keepdims=True)
-    g = jnp.maximum(extent / G, radius)  # cell size >= radius
-    cell = jnp.clip(jnp.floor((xyz - lo) / g).astype(jnp.int32), 0, G - 1)
-    key = (cell[..., 0] * G + cell[..., 1]) * G + cell[..., 2]
+    g = jnp.maximum(extent / g_res, radius)  # cell size >= radius
+    cell = jnp.clip(jnp.floor((xyz - lo) / g).astype(jnp.int32), 0, g_res - 1)
+    key = (cell[..., 0] * g_res + cell[..., 1]) * g_res + cell[..., 2]
     # ONE multi-operand stable sort carries the permutation and the point
     # coordinates as payloads — the argsort-then-regather form cost ~0.6 ms
     # of descriptor-bound gathers + index math per step (profiled).
@@ -250,10 +258,12 @@ def grid_prep(radius, xyz, new_xyz, *, interpret=False):
     )
     spT = jnp.stack([spx, spy, spz], axis=1)  # (B, 3, N) sorted points
 
-    offsets = _cell_offsets(skey, interpret=interpret)  # (B, _HPAD)
+    offsets = _cell_offsets(skey, h=h_cells, interpret=interpret)
 
-    qcell = jnp.clip(jnp.floor((new_xyz - lo) / g).astype(jnp.int32), 0, G - 1)
-    qkey = (qcell[..., 0] * G + qcell[..., 1]) * G + qcell[..., 2]
+    qcell = jnp.clip(
+        jnp.floor((new_xyz - lo) / g).astype(jnp.int32), 0, g_res - 1
+    )
+    qkey = (qcell[..., 0] * g_res + qcell[..., 1]) * g_res + qcell[..., 2]
     iota_s = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
     sqkey, qperm, sqx, sqy, sqz = lax.sort(
         (qkey, iota_s, new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2]),
@@ -269,20 +279,22 @@ def grid_prep(radius, xyz, new_xyz, *, interpret=False):
     tkey = sqkey.reshape(B, T, TQ)
     id_lo, id_hi = tkey[:, :, 0], tkey[:, :, TQ - 1]
     # one contiguous range per dx covering its dy/dz in {-1,0,1} sub-ranges
-    dx_off = jnp.array([dx * G * G for dx in (-1, 0, 1)], jnp.int32)
-    c_lo = jnp.clip(id_lo[:, :, None] + dx_off - G - 1, 0, H - 1)  # (B, T, 3)
-    c_hi = jnp.clip(id_hi[:, :, None] + dx_off + G + 1, 0, H - 1)
+    dx_off = jnp.array([dx * g_res * g_res for dx in (-1, 0, 1)], jnp.int32)
+    c_lo = jnp.clip(
+        id_lo[:, :, None] + dx_off - g_res - 1, 0, h_cells - 1
+    )  # (B, T, 3)
+    c_hi = jnp.clip(id_hi[:, :, None] + dx_off + g_res + 1, 0, h_cells - 1)
     r_start = _take1(offsets, c_lo)
     r_end = _take1(offsets, c_hi + 1)
 
     # R_W consecutive windows from b_lo cover the range iff b_hi fits;
     # clamping b_lo down only ever ADDS earlier (harmless) windows, and at
     # the top clamp the covered span ends at n_blocks-1 >= any b_hi.
-    b_lo = jnp.clip(r_start // WIN, 0, n_blocks - R_W)
+    b_lo = jnp.clip(r_start // WIN, 0, n_blocks - r_w)
     b_hi = jnp.maximum((r_end - 1) // WIN, 0)
     nonempty = r_end > r_start
     ovf = jnp.any(
-        nonempty & (b_hi > b_lo + (R_W - 1)), axis=-1
+        nonempty & (b_hi > b_lo + (r_w - 1)), axis=-1
     )  # (B, T) per-tile
     blocks = b_lo  # (B, T, 3)
 
@@ -294,25 +306,36 @@ def grid_prep(radius, xyz, new_xyz, *, interpret=False):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "nsample", "g_res", "r_w", "interpret"),
+)
 def ballquery_grid(
     radius: float,
     nsample: int,
     xyz: jnp.ndarray,
     new_xyz: jnp.ndarray,
     *,
+    g_res: int = G,
+    r_w: int = R_W,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Exact ball query via voxel binning. Same contract as ballquery_pallas."""
+    """Exact ball query via voxel binning. Same contract as ballquery_pallas.
+
+    ``g_res``/``r_w`` tune the grid resolution and the per-range window
+    count; any combination is exact (radius test + per-tile rescan), the
+    knobs are pure performance (see the round-3 sweep in PERFORMANCE.md)."""
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
-    if S % (TQ * TB) != 0 or N % WIN != 0 or N < R_W * WIN:
+    if S % (TQ * TB) != 0 or N % WIN != 0 or N < r_w * WIN:
         return ballquery_pallas(
             radius, nsample, xyz, new_xyz, interpret=interpret
         )
     xyz = xyz.astype(jnp.float32)
     new_xyz = new_xyz.astype(jnp.float32)
-    g = grid_prep(radius, xyz, new_xyz, interpret=interpret)
+    g = grid_prep(
+        radius, xyz, new_xyz, g_res=g_res, r_w=r_w, interpret=interpret
+    )
     blocks, ovf, sq_tiles, spT, oidx, T = (
         g["blocks"], g["ovf"], g["sq_tiles"], g["spT"], g["oidx"], g["T"]
     )
@@ -325,6 +348,7 @@ def ballquery_grid(
             nsample=nsample,
             n_total=N,
             n_tiles=T,
+            r_w=r_w,
         ),
         grid=(B, T // TB),
         out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
