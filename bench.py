@@ -78,12 +78,14 @@ def _marginal_time(
     return value, spread
 
 
-def bench_train_step():
+def bench_train_step(model_kwargs=None, draws=2):
     from pointnet12_tpu.models import get_model
     from pointnet12_tpu.train import create_train_state, make_optimizer
     from pointnet12_tpu.train.loop import build_train_step
 
-    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    model = get_model(
+        "pointnet2_semseg", num_classes=NUM_CLASSES, **(model_kwargs or {})
+    )
     key = jax.random.PRNGKey(0)
     points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT_DIM))
     labels = jax.random.randint(key, (BATCH, NUM_POINT), 0, NUM_CLASSES)
@@ -110,12 +112,14 @@ def bench_train_step():
     # draws and make the headline the WORSE one — the honest number a
     # deployment sees without compile-draw luck.
     sec, spread = _marginal_time(make_looped, state0, batch)
+    if draws == 1:
+        return BATCH / sec, sec, spread, [sec]
     sec2, spread2 = _marginal_time(
         make_looped, state0, batch, short=SHORT + 1, long=LONG + 1
     )
-    draws = sorted([sec, sec2])
-    worse = draws[-1]
-    return BATCH / worse, worse, max(spread, spread2), draws
+    pair = sorted([sec, sec2])
+    worse = pair[-1]
+    return BATCH / worse, worse, max(spread, spread2), pair
 
 
 def bench_inference():
@@ -284,6 +288,12 @@ def main(argv=None):
         return
 
     clouds_per_sec, sec_per_step, spread, draws = bench_train_step()
+    # secondary: the --bf16_grouped speed knob (SA grouped stacks bf16,
+    # everything else fp32; quality characterization in docs/PERFORMANCE.md
+    # — fp32 stays the headline config). Single draw to bound bench time.
+    bf16g_cps, bf16g_sec, _, _ = bench_train_step(
+        model_kwargs={"grouped_dtype": jnp.bfloat16}, draws=1
+    )
     infer_cps, _ = bench_inference()
     fps_us, bq_us, bq_dense_us = bench_kernels()
     verify = verify_kernels()
@@ -295,6 +305,8 @@ def main(argv=None):
         "step_ms": round(sec_per_step * 1e3, 2),
         "step_ms_draws": [round(d * 1e3, 2) for d in draws],
         "spread": round(spread, 3),
+        "bf16_grouped_step_ms": round(bf16g_sec * 1e3, 2),
+        "bf16_grouped_clouds_per_sec": round(bf16g_cps, 2),
         "inference_clouds_per_sec": round(infer_cps, 2),
         "fps_us_per_cloud": round(fps_us, 1),
         "ballquery_us_per_cloud": round(bq_us, 1),
