@@ -396,3 +396,21 @@ def test_fused_sa_eval_grid_matches_ref():
     ok = _boundary_ok(xyz, new_xyz, radius)
     err = np.abs(np.asarray(ref - got))[ok].max()
     assert err < 5e-4, err
+
+
+def test_ballquery_grid_resolution_knobs():
+    """g_res/r_w are pure performance knobs — any combination must stay
+    exact (radius test + per-tile rescan). Swept on-chip in round 3
+    ((8,3) optimal); here a non-default config runs interpreted."""
+    from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
+
+    rng = np.random.RandomState(9)
+    xyz = jnp.asarray(rng.uniform(size=(2, 512, 3)).astype(np.float32))
+    new_xyz = xyz[:, ::4, :]  # 128 centers
+    radius = 0.25
+    ref = _ballquery_jnp(radius, 16, xyz, new_xyz)
+    got = ballquery_grid(
+        radius, 16, xyz, new_xyz, g_res=12, r_w=2, interpret=True
+    )
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    assert int((np.asarray(got) != np.asarray(ref))[ok].sum()) == 0
