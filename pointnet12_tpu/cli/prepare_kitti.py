@@ -20,10 +20,14 @@ def main(argv=None):
                    choices=["train", "val"])
     p.add_argument("--num_point", type=int, default=4096)
     p.add_argument("--shard_size", type=int, default=256)
+    p.add_argument("--label_map", type=str, default=None,
+                   help="semantic-kitti.yaml with a learning_map section "
+                        "(default: the baked-in standard map)")
     args = p.parse_args(argv)
     written = prepare_h5(
         args.root, args.out, split=args.split,
         num_point=args.num_point, shard_size=args.shard_size,
+        label_map_yaml=args.label_map,
     )
     print(f"wrote {len(written)} shards:")
     for w in written:

@@ -22,7 +22,9 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 # Standard semantic-kitti.yaml learning_map (raw id -> train id 0..19,
-# 0 = unlabeled/ignored). Baked in: no yaml dependency, no network.
+# 0 = unlabeled/ignored). Baked in so no config file is required; a custom
+# semantic-kitti.yaml can be supplied via ``label_map_yaml=`` (the
+# reference's label-map config path, SURVEY.md §5 flag surface).
 LEARNING_MAP: Dict[int, int] = {
     0: 0, 1: 0, 10: 1, 11: 2, 13: 5, 15: 3, 16: 5, 18: 4, 20: 5, 30: 6,
     31: 7, 32: 8, 40: 9, 44: 10, 48: 11, 49: 12, 50: 13, 51: 14, 52: 0,
@@ -34,9 +36,10 @@ TRAIN_SEQUENCES = ["00", "01", "02", "03", "04", "05", "06", "07", "09", "10"]
 VAL_SEQUENCES = ["08"]
 
 
-def _build_remap_lut() -> np.ndarray:
-    lut = np.zeros(max(LEARNING_MAP) + 1, dtype=np.int32)
-    for raw, train in LEARNING_MAP.items():
+def _build_remap_lut(mapping: Optional[Dict[int, int]] = None) -> np.ndarray:
+    mapping = LEARNING_MAP if mapping is None else mapping
+    lut = np.zeros(max(mapping) + 1, dtype=np.int32)
+    for raw, train in mapping.items():
         lut[raw] = train
     return lut
 
@@ -44,16 +47,29 @@ def _build_remap_lut() -> np.ndarray:
 _REMAP_LUT = _build_remap_lut()
 
 
+def load_learning_map(yaml_path: str) -> Dict[int, int]:
+    """Parse the ``learning_map`` section of a semantic-kitti.yaml (the
+    reference lineage's label-map config). Requires pyyaml."""
+    import yaml
+
+    with open(yaml_path) as f:
+        cfg = yaml.safe_load(f)
+    if "learning_map" not in cfg:
+        raise KeyError(f"{yaml_path!r} has no 'learning_map' section")
+    return {int(k): int(v) for k, v in cfg["learning_map"].items()}
+
+
 def read_scan(bin_path: str) -> np.ndarray:
     """(P, 4) float32: x, y, z, remission."""
     return np.fromfile(bin_path, dtype=np.float32).reshape(-1, 4)
 
 
-def read_labels(label_path: str) -> np.ndarray:
+def read_labels(label_path: str, lut: Optional[np.ndarray] = None) -> np.ndarray:
     """(P,) int32 train ids (lower 16 bits remapped)."""
+    lut = _REMAP_LUT if lut is None else lut
     raw = np.fromfile(label_path, dtype=np.uint32) & 0xFFFF
-    raw = np.minimum(raw, len(_REMAP_LUT) - 1)
-    return _REMAP_LUT[raw]
+    raw = np.minimum(raw, len(lut) - 1)
+    return lut[raw]
 
 
 def fix_size(
@@ -97,6 +113,7 @@ class SemanticKITTIScans:
         split: str = "train",
         num_point: int = 4096,
         seed: int = 0,
+        label_map_yaml: Optional[str] = None,
     ):
         seqs = TRAIN_SEQUENCES if split == "train" else VAL_SEQUENCES
         self.pairs = _scan_paths(root, seqs)
@@ -106,6 +123,11 @@ class SemanticKITTIScans:
             )
         self.num_point = num_point
         self.seed = seed
+        self._lut = (
+            _build_remap_lut(load_learning_map(label_map_yaml))
+            if label_map_yaml
+            else _REMAP_LUT
+        )
 
     def __len__(self):
         return len(self.pairs)
@@ -114,7 +136,7 @@ class SemanticKITTIScans:
         bin_path, label_path = self.pairs[i]
         pts = read_scan(bin_path)
         lbl = (
-            read_labels(label_path)
+            read_labels(label_path, self._lut)
             if label_path
             else np.zeros(len(pts), np.int32)
         )
@@ -130,11 +152,15 @@ def prepare_h5(
     num_point: int = 4096,
     shard_size: int = 256,
     seed: int = 0,
+    label_map_yaml: Optional[str] = None,
 ) -> List[str]:
     """Offline prep: raw sequences -> fixed-shape h5 shards (SURVEY.md §3.4)."""
     import h5py
 
-    ds = SemanticKITTIScans(root, split=split, num_point=num_point, seed=seed)
+    ds = SemanticKITTIScans(
+        root, split=split, num_point=num_point, seed=seed,
+        label_map_yaml=label_map_yaml,
+    )
     os.makedirs(out_dir, exist_ok=True)
     written = []
     for shard_start in range(0, len(ds), shard_size):

@@ -281,3 +281,39 @@ def test_kitti_raw_and_prep_roundtrip(tmp_path):
     p2, l2 = ds2[0]
     np.testing.assert_array_equal(p2, pts)
     np.testing.assert_array_equal(l2, lbl)
+
+
+def test_kitti_yaml_label_map(tmp_path):
+    """Custom semantic-kitti.yaml learning_map flows through the raw loader
+    and the prep tool (reference's label-map config; SURVEY.md §5)."""
+    import pointnet12_tpu.data.semantic_kitti as sk
+
+    yaml_path = tmp_path / "custom.yaml"
+    yaml_path.write_text(
+        "learning_map:\n  0: 0\n  10: 2\n  30: 1\n  40: 3\n"
+    )
+    mapping = sk.load_learning_map(str(yaml_path))
+    assert mapping == {0: 0, 10: 2, 30: 1, 40: 3}
+
+    # tiny raw tree: one scan, labels using raw ids 10/30/40
+    seq = tmp_path / "sequences" / "00"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir()
+    pts = np.random.RandomState(0).randn(32, 4).astype(np.float32)
+    pts.tofile(seq / "velodyne" / "000000.bin")
+    raw = np.array([10] * 16 + [30] * 8 + [40] * 8, np.uint32)
+    raw.tofile(seq / "labels" / "000000.label")
+
+    ds = sk.SemanticKITTIScans(
+        str(tmp_path), split="train", num_point=32,
+        label_map_yaml=str(yaml_path),
+    )
+    _, lbl = ds[0]
+    # remapped ids only (custom map), counts preserved under shuffling
+    assert sorted(np.unique(lbl)) == [1, 2, 3]
+    assert (lbl == 2).sum() == 16 and (lbl == 1).sum() == 8
+
+    ds_default = sk.SemanticKITTIScans(str(tmp_path), split="train",
+                                       num_point=32)
+    _, lbl_d = ds_default[0]  # standard map: 10->1, 30->6, 40->9
+    assert sorted(np.unique(lbl_d)) == [1, 6, 9]
