@@ -24,14 +24,34 @@ import numpy as np
 
 
 class Predictor:
-    """Jitted eval-mode forward for any registry model."""
+    """Jitted eval-mode forward for any registry model.
 
-    def __init__(self, model, variables):
+    Pass ``mesh=`` (a ``jax.sharding.Mesh`` with a ``data`` axis, e.g.
+    ``parallel.mesh.make_mesh()``) to serve data-parallel: the batch is
+    sharded over the mesh's data axis and parameters are replicated, so
+    one ``predict`` call drives every chip — serving throughput scales
+    with the mesh (the model has no cross-cloud compute, so no
+    collectives are emitted in the forward). The batch must divide the
+    data-axis size.
+    """
+
+    def __init__(self, model, variables, mesh=None):
         self._model = model
-        self._variables = variables
-        self._apply = jax.jit(
-            lambda v, pts: model.apply(v, pts, train=False)[0]
-        )
+        self._mesh = mesh
+        if mesh is None:
+            self._variables = variables
+            self._apply = jax.jit(
+                lambda v, pts: model.apply(v, pts, train=False)[0]
+            )
+        else:
+            from pointnet12_tpu.parallel import mesh as mesh_lib
+
+            rep = mesh_lib.replicated(mesh)
+            self._variables = jax.device_put(variables, rep)
+            self._apply = jax.jit(
+                lambda v, pts: model.apply(v, pts, train=False)[0],
+                in_shardings=(rep, mesh_lib.batch_sharding(mesh)),
+            )
 
     @classmethod
     def from_checkpoint(
@@ -41,6 +61,7 @@ class Predictor:
         num_classes: int,
         sample_points: Optional[jnp.ndarray] = None,
         step: Optional[int] = None,
+        mesh=None,
         **model_kwargs,
     ):
         """Restore an Orbax checkpoint written by the training CLIs.
@@ -63,11 +84,12 @@ class Predictor:
             raise FileNotFoundError(
                 f"no checkpoint found in {checkpoint_dir}"
             )
-        return cls(model, variables)
+        return cls(model, variables, mesh=mesh)
 
     @classmethod
     def from_torch_state_dict(
-        cls, model_name: str, state_dict, num_classes: int, **model_kwargs
+        cls, model_name: str, state_dict, num_classes: int, mesh=None,
+        **model_kwargs,
     ):
         """Serve weights trained with the PyTorch reference directly."""
         from pointnet12_tpu.models import get_model
@@ -75,7 +97,7 @@ class Predictor:
 
         model = get_model(model_name, num_classes=num_classes, **model_kwargs)
         variables = CONVERTERS[model_name](state_dict)
-        return cls(model, variables)
+        return cls(model, variables, mesh=mesh)
 
     def __call__(self, points) -> jnp.ndarray:
         """(B, N, C) -> (B, ..., num_classes) log-probabilities."""

@@ -57,6 +57,31 @@ def test_predictor_from_torch_weights():
     )
 
 
+def test_predictor_data_parallel_matches_single_device():
+    """mesh= serving: batch sharded over the data axis, same predictions."""
+    from pointnet12_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    model = get_model("pointnet2_semseg", num_classes=5)
+    key = jax.random.PRNGKey(1)
+    # N=1024 is the model's minimum (SA1 samples 1024 centers)
+    pts = jax.random.uniform(key, (8, 1024, 9))
+    variables = model.init({"params": key}, pts[:1], train=False)
+
+    single = Predictor(model, variables)
+    mesh = make_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    sharded = Predictor(model, variables, mesh=mesh)
+
+    out = sharded(pts)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(single(pts)), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        sharded.predict_labels(pts), single.predict_labels(pts)
+    )
+
+
 def test_pad_batch():
     pts = np.ones((3, 16, 3), np.float32)
     padded, n = pad_batch(pts, 8)
