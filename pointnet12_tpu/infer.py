@@ -101,7 +101,17 @@ class Predictor:
 
     def __call__(self, points) -> jnp.ndarray:
         """(B, N, C) -> (B, ..., num_classes) log-probabilities."""
-        return self._apply(self._variables, jnp.asarray(points))
+        points = jnp.asarray(points)
+        if self._mesh is not None:
+            from pointnet12_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = self._mesh.shape[DATA_AXIS]
+            if points.shape[0] % n_data != 0:
+                raise ValueError(
+                    f"batch {points.shape[0]} not divisible by the mesh's "
+                    f"{n_data}-way data axis; pad with infer.pad_batch"
+                )
+        return self._apply(self._variables, points)
 
     def predict_labels(self, points) -> np.ndarray:
         return np.asarray(jnp.argmax(self(points), axis=-1), np.int32)

@@ -80,6 +80,8 @@ def test_predictor_data_parallel_matches_single_device():
     np.testing.assert_array_equal(
         sharded.predict_labels(pts), single.predict_labels(pts)
     )
+    with np.testing.assert_raises_regex(ValueError, "not divisible"):
+        sharded(pts[:3])
 
 
 def test_pad_batch():
