@@ -83,6 +83,15 @@ def test_predictor_data_parallel_matches_single_device():
     with np.testing.assert_raises_regex(ValueError, "not divisible"):
         sharded(pts[:3])
 
+    # the documented short-batch path: pad to the mesh width, slice back
+    padded, n = pad_batch(np.asarray(pts[:3]), 8)
+    np.testing.assert_allclose(
+        np.asarray(sharded(padded))[:n],
+        np.asarray(single(pts[:3])),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
 
 def test_pad_batch():
     pts = np.ones((3, 16, 3), np.float32)
