@@ -168,7 +168,7 @@ def bench_kernels():
         return run
 
     def bq_looped(k):
-        # production dispatch (impl="auto"): the grid kernel at this shape
+        # production dispatch (impl="auto"): the bitmask kernel at this shape
         def run(xyz, new_xyz):
             def body(i, acc):
                 idx = query_ball_point(radius, nsample, xyz + acc * 0, new_xyz)
@@ -215,6 +215,7 @@ def verify_kernels():
     """
     import numpy as np
 
+    from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
     from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
     from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
     from pointnet12_tpu.kernels.fps_pallas import fps_pallas
@@ -238,6 +239,7 @@ def verify_kernels():
     bq_j = np.asarray(_ballquery_jnp(radius, nsample, xyz, new_xyz))
     bq_p = np.asarray(ballquery_pallas(radius, nsample, xyz, new_xyz))
     bq_g = np.asarray(ballquery_grid(radius, nsample, xyz, new_xyz))
+    bq_b = np.asarray(ballquery_bitmask(radius, nsample, xyz, new_xyz))
     d2 = np.sum(
         (np.asarray(new_xyz)[:, :, None, :] - np.asarray(xyz)[:, None]) ** 2,
         -1,
@@ -245,12 +247,14 @@ def verify_kernels():
     ok = ~np.any(np.abs(d2 - radius**2) < 1e-5, axis=-1)  # (B, S)
     out["ballquery"] = int((bq_p != bq_j)[ok].sum())
     out["ballquery_grid"] = int((bq_g != bq_j)[ok].sum())
+    out["ballquery_bitmask"] = int((bq_b != bq_j)[ok].sum())
 
     # MSG-shaped case: wider radius, K=64, S=512 (the branch shapes the
     # cls-MSG model hits; round-1 verification only covered SSG shapes)
     new_xyz_msg = index_points(xyz, jnp.asarray(fps_j[:, :512]))
     bqm_j = np.asarray(_ballquery_jnp(0.4, 64, xyz, new_xyz_msg))
     bqm_p = np.asarray(ballquery_pallas(0.4, 64, xyz, new_xyz_msg))
+    bqm_b = np.asarray(ballquery_bitmask(0.4, 64, xyz, new_xyz_msg))
     d2m = np.sum(
         (np.asarray(new_xyz_msg)[:, :, None, :] - np.asarray(xyz)[:, None])
         ** 2,
@@ -258,6 +262,7 @@ def verify_kernels():
     )
     okm = ~np.any(np.abs(d2m - 0.4**2) < 1e-5, axis=-1)
     out["ballquery_msg"] = int((bqm_p != bqm_j)[okm].sum())
+    out["ballquery_msg_bitmask"] = int((bqm_b != bqm_j)[okm].sum())
 
     d_j, i_j = three_nn(xyz, new_xyz, impl="jnp")
     d_p, i_p = three_nn_pallas(xyz, new_xyz)

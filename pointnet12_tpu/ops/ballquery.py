@@ -26,13 +26,26 @@ from jax import lax
 
 from pointnet12_tpu.ops.distance import square_distance
 
-# Minimum N for the voxel-grid kernel under impl="auto" (module-level so
-# benchmarks can sweep the crossover without editing the dispatch). Grid v3
-# (three fixed window-ranges per tile, no XLA-side window prep) wins inside
-# the train step from N=4096 up: 19.48 vs 20.88 ms/step at the flagship
-# shape, same-process A/B. v2's prep chain lost here — see
-# kernels/ballquery_grid.py docstring.
-GRID_MIN_N = 4096
+# impl="auto" crossovers (module-level so benchmarks can sweep them
+# without editing the dispatch). Measured same-process on v5e
+# (bench/bitmask_ab.py, round 3):
+#
+#   shape                      bitmask   dense   grid
+#   SA1  N=4096 S=1024 K=32    0.764     4.402   2.032   ms
+#   SA2  N=1024 S=256  K=32    0.195     0.269   0.431
+#   SA3  N=256  S=64   K=32    0.057     0.018   —
+#   MSG  N=4096 S=512  K=64    1.092     4.157   14.267
+#
+# The bitmask kernel (MXU bit-pack + lowest-set-bit extraction) wins from
+# N=1024 up and needs no XLA-side prep; dense prefix-rank wins below
+# (bitmask's N/16 word lanes run underfull there). Above N=4096 the
+# single-pass bitmask kernel exceeds the 16 MB scoped-VMEM limit (its
+# (N, N/16) pack matrix plus full-width distance tile OOM at N=8192 by
+# 148 KB — chunked packing would lift this; future work), so the
+# voxel-grid kernel keeps serving aligned N >= 8192 as in round 2.
+BITMASK_MIN_N = 1024
+BITMASK_MAX_N = 4096  # single-pass VMEM budget; see OOM note above
+GRID_MIN_N = 8192
 
 
 def _ballquery_jnp(
@@ -76,17 +89,22 @@ def query_ball_point(
         from pointnet12_tpu.kernels import dispatch
 
         if dispatch.pallas_enabled():
-            impl = (
-                "grid"
-                if (N >= GRID_MIN_N and N % 128 == 0 and S % 128 == 0)
-                else "pallas"
-            )
+            if N >= GRID_MIN_N and N % 128 == 0 and S % 128 == 0:
+                impl = "grid"
+            elif BITMASK_MIN_N <= N <= BITMASK_MAX_N and N % 16 == 0:
+                impl = "bitmask"
+            else:
+                impl = "pallas"
         else:
             impl = "jnp"
     if impl == "grid":
         from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
 
         out = ballquery_grid(radius, nsample, xyz, new_xyz)
+    elif impl == "bitmask":
+        from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
+
+        out = ballquery_bitmask(radius, nsample, xyz, new_xyz)
     elif impl == "pallas":
         from pointnet12_tpu.kernels.ballquery_pallas import ballquery_pallas
 

@@ -414,3 +414,37 @@ def test_ballquery_grid_resolution_knobs():
     )
     ok = _boundary_ok(xyz, new_xyz, radius)
     assert int((np.asarray(got) != np.asarray(ref))[ok].sum()) == 0
+
+
+@pytest.mark.parametrize(
+    "n,s,k,radius",
+    [
+        (256, 64, 8, 0.3),     # small generic
+        (1024, 256, 32, 0.2),  # SA2 flagship shape class
+        (512, 128, 128, 0.4),  # MSG K=128 branch
+        (512, 100, 16, 0.3),   # S with no pow2 factor >4 (tile fallback 4)
+        (64, 16, 32, 0.8),     # K > in-radius count: pad-with-first heavy
+    ],
+)
+def test_ballquery_bitmask_matches_jnp(n, s, k, radius):
+    """Bitmask kernel (MXU bit-pack + lowest-set-bit extraction) parity."""
+    from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
+
+    rng = np.random.RandomState(17)
+    xyz = jnp.asarray(rng.uniform(size=(2, n, 3)).astype(np.float32))
+    new_xyz = index_points(xyz, _fps_jnp(xyz, s, jnp.zeros((2,), jnp.int32)))
+    want = np.asarray(_ballquery_jnp(radius, k, xyz, new_xyz))
+    got = np.asarray(
+        ballquery_bitmask(radius, k, xyz, new_xyz, interpret=True)
+    )
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(got[ok], want[ok])
+
+
+def test_ballquery_bitmask_rejects_unaligned_n():
+    from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
+
+    xyz = jnp.zeros((1, 300, 3))
+    with pytest.raises(ValueError, match="N % 16"):
+        ballquery_bitmask(0.3, 8, xyz, xyz[:, :10], interpret=True)
