@@ -106,6 +106,10 @@ def run_training(args, task: str):
     elif getattr(args, "bf16_grouped", False):
         # selective precision: only the SA grouped stacks go bf16
         model_kwargs["grouped_dtype"] = jnp.bfloat16
+        if getattr(args, "bf16_sr", False):
+            # stochastic rounding on the train-time bf16 casts (see
+            # nn/mlp.py::_sr_to_bf16); eval stays deterministic
+            model_kwargs["grouped_sr"] = True
     model = get_model(model_name, **model_kwargs)
 
     tx = make_optimizer(
@@ -315,6 +319,10 @@ def add_common_args(parser, task: str):
                         help="bfloat16 for the SA grouped (B,S,K,C) stacks "
                              "only (the HBM bottleneck); FP decoder, heads "
                              "and everything else stay fp32")
+    parser.add_argument("--bf16_sr", action="store_true",
+                        help="with --bf16_grouped: stochastically round the "
+                             "train-time bf16 casts (unbiased quantization "
+                             "of BN stats and backward residuals)")
     parser.add_argument("--precise_bn", type=int, default=0, metavar="N",
                         help="before each eval, replace BN running stats with "
                              "exact pooled statistics over N training batches "

@@ -55,6 +55,7 @@ class PointNet2ClsSSG(nn.Module):
     impl: str = "auto"
     dtype: Any = jnp.float32
     grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
+    grouped_sr: bool = False  # stochastic-round bf16 casts in train
 
     @nn.compact
     def __call__(
@@ -68,11 +69,11 @@ class PointNet2ClsSSG(nn.Module):
             feats = None
         xyz, feats = SetAbstraction(
             512, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa1"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa1"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstraction(
             128, 0.4, 64, [128, 128, 256], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa2"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa2"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
             mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
@@ -88,6 +89,7 @@ class PointNet2ClsMSG(nn.Module):
     impl: str = "auto"
     dtype: Any = jnp.float32
     grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
+    grouped_sr: bool = False  # stochastic-round bf16 casts in train
 
     @nn.compact
     def __call__(
@@ -106,7 +108,7 @@ class PointNet2ClsMSG(nn.Module):
             [[32, 32, 64], [64, 64, 128], [64, 96, 128]],
             impl=self.impl,
             dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype,
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr,
             name="sa1",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 1))
         xyz, feats = SetAbstractionMSG(
@@ -116,7 +118,7 @@ class PointNet2ClsMSG(nn.Module):
             [[64, 64, 128], [128, 128, 256], [128, 128, 256]],
             impl=self.impl,
             dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype,
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr,
             name="sa2",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(

@@ -32,6 +32,7 @@ class PointNet2SemSeg(nn.Module):
     # bf16 for the grouped SA (B, S, K, C) stacks only (HBM bottleneck);
     # FP decoder / heads / BN inputs outside SA stay in ``dtype``.
     grouped_dtype: Any = None
+    grouped_sr: bool = False  # stochastic-round bf16 casts in train
 
     @nn.compact
     def __call__(
@@ -46,19 +47,19 @@ class PointNet2SemSeg(nn.Module):
 
         l1_xyz, l1 = SetAbstraction(
             1024, 0.1, 32, [32, 32, 64], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa1"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa1"
         )(l0_xyz, l0_feats, train=train, fps_key=_subkey(fps_key, 1))
         l2_xyz, l2 = SetAbstraction(
             256, 0.2, 32, [64, 64, 128], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa2"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa2"
         )(l1_xyz, l1, train=train, fps_key=_subkey(fps_key, 2))
         l3_xyz, l3 = SetAbstraction(
             64, 0.4, 32, [128, 128, 256], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa3"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa3"
         )(l2_xyz, l2, train=train, fps_key=_subkey(fps_key, 3))
         l4_xyz, l4 = SetAbstraction(
             16, 0.8, 32, [256, 256, 512], impl=self.impl, dtype=self.dtype,
-            grouped_dtype=self.grouped_dtype, name="sa4"
+            grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa4"
         )(l3_xyz, l3, train=train, fps_key=_subkey(fps_key, 4))
 
         l3 = FeaturePropagation([256, 256], dtype=self.dtype, name="fp4")(

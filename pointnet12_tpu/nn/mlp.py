@@ -28,6 +28,49 @@ BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
 
 
+@jax.custom_vjp
+def _sr_to_bf16(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """Stochastically round fp32 to bfloat16: P(round up) = mantissa frac.
+
+    Adds 16 uniform random bits below the bf16 mantissa boundary, then
+    truncates — the standard SR-by-carry construction. Values already
+    bf16-representable (zero low bits) are returned EXACTLY (bits < 2^16
+    can't carry). Random bits come from a per-element xxhash-style integer
+    finalizer over a flat iota + per-call seed: ~6 fused VPU int ops per
+    element, so XLA fuses the whole cast into the producer — no extra HBM
+    pass and no threefry tensor (measured requirement: the grouped casts
+    sit on the SA HBM bottleneck this knob exists to relieve). Not crypto;
+    unbiasedness is all SR needs. Inf/NaN inputs are not handled (grouped
+    activations are finite; --debug_nans guards the rest).
+    """
+    u = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    ctr = jnp.arange(x.size, dtype=jnp.uint32).reshape(x.shape)
+    h = ctr * jnp.uint32(2654435761) + seed
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(2246822519)
+    h = h ^ (h >> 13)
+    u = (u + (h & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+
+
+def _sr_to_bf16_fwd(x, seed):
+    return _sr_to_bf16(x, seed), seed.shape
+
+
+def _sr_to_bf16_bwd(seed_shape, g):
+    # straight-through, same as astype(bf16)'s own VJP: upcast the incoming
+    # bf16 cotangent. The integer seed takes a float0 zero cotangent.
+    import numpy as _np
+
+    return (
+        g.astype(jnp.float32),
+        _np.zeros(seed_shape, jax.dtypes.float0),
+    )
+
+
+_sr_to_bf16.defvjp(_sr_to_bf16_fwd, _sr_to_bf16_bwd)
+
+
 class MomentBN(nn.Module):
     """BatchNorm parameter/statistics holder for the folded Dense+BN path.
 
@@ -290,6 +333,19 @@ class GroupedSharedMLP(nn.Module):
     features: Sequence[int]
     dtype: Any = jnp.float32
     pool: bool = False  # max over K (pre-ReLU) after the last layer
+    # Stochastic rounding for the train-time fp32 -> dtype casts (only
+    # meaningful with dtype=bfloat16). Deterministic round-to-nearest
+    # biases every cast the same way each step; SR makes the quantization
+    # error zero-mean so BN statistics and saved backward residuals stay
+    # unbiased. Eval is untouched (deterministic serving).
+    sr: bool = False
+
+    def _down(self, x, train: bool):
+        """fp32 -> self.dtype activation cast, stochastic in train w/ sr."""
+        if self.dtype == jnp.float32 or not (self.sr and train):
+            return x.astype(self.dtype)
+        seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+        return _sr_to_bf16(x, seed)
 
     @nn.compact
     def __call__(
@@ -339,7 +395,7 @@ class GroupedSharedMLP(nn.Module):
             kernel,
             bias,
         )
-        x = x.astype(self.dtype)
+        x = self._down(x, train)
 
         # NOTE (measured, do not "simplify"): running this stack on a FLAT
         # (B, S*K, C) view to dodge the {1,3,2,0} relayout copies was tried
@@ -360,7 +416,8 @@ class GroupedSharedMLP(nn.Module):
                         name=f"bn_{i}",
                         dtype=jnp.float32,
                         param_dtype=jnp.float32,
-                    )(x).astype(self.dtype)
+                    )(x)
+                    x = self._down(x, train)
             else:
                 dense = nn.Dense(
                     width,
@@ -384,7 +441,8 @@ class GroupedSharedMLP(nn.Module):
                         name=f"bn_{i}",
                         dtype=jnp.float32,
                         param_dtype=jnp.float32,
-                    )(x).astype(self.dtype)
+                    )(x)
+                    x = self._down(x, train)
             if last and self.pool:
                 # max over K commutes with the monotonic ReLU: pooling the
                 # pre-ReLU tensor means the last layer's (B, S, K, C)

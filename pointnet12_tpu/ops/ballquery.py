@@ -28,13 +28,14 @@ from pointnet12_tpu.ops.distance import square_distance
 
 # impl="auto" crossovers (module-level so benchmarks can sweep them
 # without editing the dispatch). Measured same-process on v5e
-# (bench/bitmask_ab.py, round 3):
+# (bench/bitmask_ab.py, round 3; SA1 bitmask ranges over four sessions
+# with the dense kernel as a stable anchor):
 #
-#   shape                      bitmask   dense   grid
-#   SA1  N=4096 S=1024 K=32    0.764     4.402   2.032   ms
-#   SA2  N=1024 S=256  K=32    0.195     0.269   0.431
-#   SA3  N=256  S=64   K=32    0.057     0.018   —
-#   MSG  N=4096 S=512  K=64    1.092     4.157   14.267
+#   shape                      bitmask     dense       grid
+#   SA1  N=4096 S=1024 K=32    1.11-1.30   4.40-4.57   1.74-2.03  ms
+#   SA2  N=1024 S=256  K=32    0.15-0.20   0.27-0.35   0.431
+#   SA3  N=256  S=64   K=32    0.057       0.018       —
+#   MSG  N=4096 S=512  K=64    1.092       4.157       14.267
 #
 # The bitmask kernel (MXU bit-pack + lowest-set-bit extraction) wins from
 # N=1024 up and needs no XLA-side prep; dense prefix-rank wins below

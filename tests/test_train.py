@@ -325,3 +325,53 @@ def test_restore_variables_ignores_optimizer(tmp_path):
     # restored variables drive an eval-mode forward directly
     logp, _ = model.apply(variables, pts, train=False)
     assert logp.shape == (2, 4)
+
+
+def test_bf16_grouped_sr_trains_and_eval_deterministic():
+    """--bf16_sr path: stochastic rounding on the grouped bf16 casts.
+
+    Checks (a) the SR cast itself is unbiased where round-to-nearest is
+    biased, (b) a grouped_sr model trains (loss drops) and its EVAL
+    forward is bit-deterministic (SR is train-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnet12_tpu.models import get_model
+    from pointnet12_tpu.nn.mlp import _sr_to_bf16
+    from pointnet12_tpu.train import create_train_state, make_optimizer
+    from pointnet12_tpu.train.loop import build_train_step
+
+    # (a) unbiasedness on a value exactly between two bf16 neighbors' side
+    x = jnp.full((100000,), 4.0 / 3.0, jnp.float32)
+    y = np.asarray(_sr_to_bf16(x, jnp.uint32(99)), np.float32)
+    det = float(jnp.asarray(4.0 / 3.0, jnp.bfloat16).astype(jnp.float32))
+    assert abs(y.mean() - 4.0 / 3.0) < abs(det - 4.0 / 3.0) / 10
+    exact = jnp.asarray([1.0, -2.5, 0.0, 384.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(_sr_to_bf16(exact, jnp.uint32(7)), np.float32),
+        np.asarray(exact),
+    )
+
+    # (b) train + deterministic eval
+    model = get_model(
+        "pointnet2_semseg", num_classes=4,
+        grouped_dtype=jnp.bfloat16, grouped_sr=True,
+    )
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (2, 1024, 9))
+    lbl = jax.random.randint(key, (2, 1024), 0, 4)
+    state = create_train_state(
+        model, key, pts[:1], make_optimizer("adam", steps_per_epoch=10)
+    )
+    step = jax.jit(build_train_step(model, task="seg", num_classes=4))
+    losses = []
+    for i in range(6):
+        state, m = step(state, {"points": pts, "label": lbl},
+                        jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    e1, _ = model.apply(variables, pts, train=False)
+    e2, _ = model.apply(variables, pts, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
