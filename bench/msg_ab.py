@@ -78,8 +78,15 @@ def main():
     print(json.dumps({"partial": out}), flush=True)
     out["bf16_grouped_ms"] = step_ms({"grouped_dtype": jnp.bfloat16})
     print(json.dumps({"partial": out}), flush=True)
+    # the round-3 flagship precision config (quality-neutral: see
+    # docs/PERFORMANCE.md stochastic-rounding section)
+    out["bf16_grouped_sr_ms"] = step_ms(
+        {"grouped_dtype": jnp.bfloat16, "grouped_sr": True}
+    )
+    print(json.dumps({"partial": out}), flush=True)
     out["bf16_all_ms"] = step_ms({"dtype": jnp.bfloat16})
     out["speedup_grouped"] = out["base_ms"] / out["bf16_grouped_ms"]
+    out["speedup_grouped_sr"] = out["base_ms"] / out["bf16_grouped_sr_ms"]
     print(json.dumps(out), flush=True)
 
 

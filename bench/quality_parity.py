@@ -80,7 +80,8 @@ def _batches(dataset, batch_size, n_steps, seed=0):
 # ------------------------------------------------------------------- JAX side
 
 
-def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr, wd):
+def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
+                   wd, precise_bn_batches=0):
     params, bs = variables["params"], variables["batch_stats"]
     tx = make_optimizer("adam", learning_rate=lr, weight_decay=wd)
     opt = tx.init(params)
@@ -121,6 +122,23 @@ def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr, wd):
         )
         if i % 50 == 0:
             print(f"  [jax] step {i} loss {float(loss):.4f}", flush=True)
+    if precise_bn_batches:
+        # bf16 configs eval with exact pooled statistics instead of the
+        # lagging EMA (train/precise_bn.py; the documented --precise_bn
+        # pairing for --bf16_grouped/--bf16_sr)
+        from types import SimpleNamespace
+
+        from pointnet12_tpu.train.precise_bn import recompute_batch_stats
+
+        shim = SimpleNamespace(
+            apply_fn=model.apply, params=params, batch_stats=bs,
+            replace=lambda **kw: kw["batch_stats"],
+        )
+        bs = recompute_batch_stats(
+            shim,
+            [{"points": p} for p, _ in batches[-precise_bn_batches:]],
+            precise_bn_batches,
+        )
     # eval-mode forward (running BN stats, no dropout), batched
     @jax.jit
     def fwd(params, bs, pts):
@@ -232,7 +250,7 @@ def run_cls(n_steps, hard=False):
     }
 
 
-def run_semseg(n_steps):
+def run_semseg(n_steps, sr=False):
     num_classes, N, B = 6, 1024, 4
     train_ds = SyntheticScene("train", num_point=N,
                               num_classes=num_classes, size=128)
@@ -245,10 +263,17 @@ def run_semseg(n_steps):
     torch.manual_seed(1)
     tmodel = models_torch.PointNet2SemSeg(num_classes=num_classes, channel=9)
     variables = CONVERTERS["pointnet2_semseg"](_state_dict_np(tmodel))
-    model = get_model("pointnet2_semseg", num_classes=num_classes, impl="jnp")
+    # sr: the production speed config (--bf16_grouped --bf16_sr
+    # --precise_bn) against the UNCHANGED fp32 torch oracle — the direct
+    # quality-parity statement for the fast config.
+    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else {}
+    model = get_model(
+        "pointnet2_semseg", num_classes=num_classes, impl="jnp", **kw
+    )
 
     jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
-                               "seg", 1e-3, 1e-4)
+                               "seg", 1e-3, 1e-4,
+                               precise_bn_batches=8 if sr else 0)
     tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
                                  "seg", 1e-3, 1e-4, channels_first=False)
     jacc = float(np.mean(jp == eval_lbl))
@@ -256,7 +281,8 @@ def run_semseg(n_steps):
     jmiou = miou_of(jp.ravel(), eval_lbl.ravel(), num_classes)
     tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes)
     return {
-        "case": "pointnet2_semseg", "steps": n_steps,
+        "case": "pointnet2_semseg" + ("_bf16_sr" if sr else ""),
+        "steps": n_steps,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
         "jax_miou": jmiou, "torch_miou": tmiou,
         "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
@@ -268,7 +294,8 @@ def run_semseg(n_steps):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--case", choices=["cls", "cls_hard", "semseg"],
+    p.add_argument("--case",
+                   choices=["cls", "cls_hard", "semseg", "semseg_sr"],
                    required=True)
     p.add_argument("--steps", type=int, default=None)
     args = p.parse_args(argv)
@@ -278,7 +305,7 @@ def main(argv=None):
     elif args.case == "cls_hard":
         out = run_cls(args.steps or 2000, hard=True)
     else:
-        out = run_semseg(args.steps or 240)
+        out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
     return out
 
