@@ -6,6 +6,9 @@ broken in this env).
 Usage:
   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
   PYTHONPATH=/root/repo:/root/.axon_site python bench/profile_step.py [out_dir]
+
+Pass --sr to profile the round-3 flagship precision config
+(--bf16_grouped --bf16_sr) instead of fp32.
 """
 
 import collections
@@ -19,12 +22,14 @@ import jax.numpy as jnp
 BATCH, NUM_POINT, NUM_CLASSES, FEAT = 16, 4096, 13, 9
 
 
-def capture(out_dir):
+def capture(out_dir, model_kwargs=None):
     from pointnet12_tpu.models import get_model
     from pointnet12_tpu.train import create_train_state, make_optimizer
     from pointnet12_tpu.train.loop import build_train_step
 
-    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    model = get_model(
+        "pointnet2_semseg", num_classes=NUM_CLASSES, **(model_kwargs or {})
+    )
     key = jax.random.PRNGKey(0)
     points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT))
     labels = jax.random.randint(key, (BATCH, NUM_POINT), 0, NUM_CLASSES)
@@ -87,6 +92,9 @@ def parse(out_dir):
 
 
 if __name__ == "__main__":
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_step"
-    capture(out_dir)
+    argv = [a for a in sys.argv[1:] if a != "--sr"]
+    sr = "--sr" in sys.argv[1:]
+    out_dir = argv[0] if argv else "/tmp/prof_step"
+    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else None
+    capture(out_dir, kw)
     parse(out_dir)
