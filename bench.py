@@ -284,10 +284,35 @@ def verify_kernels():
     return out
 
 
+def _wait_for_backend(attempts=6, sleep_s=180):
+    """Retry TPU backend init: the axon tunnel on this box has transient
+    outages (observed: init raises UNAVAILABLE or hangs for minutes). A
+    failed init is cached inside jax, so clear backends between tries."""
+    for i in range(attempts):
+        try:
+            jax.block_until_ready(jnp.zeros((8,)) + 1)
+            return
+        except Exception as e:  # noqa: BLE001 — backend init errors vary
+            if i == attempts - 1:
+                raise
+            print(
+                f"# backend init failed ({type(e).__name__}), "
+                f"retry {i + 1}/{attempts - 1} in {sleep_s}s",
+                flush=True,
+            )
+            try:
+                jax.clear_caches()
+                jax.extend.backend.clear_backends()
+            except Exception:  # noqa: BLE001
+                pass
+            time.sleep(sleep_s)
+
+
 def main(argv=None):
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
+    _wait_for_backend()
     if "--verify" in argv:  # standalone detailed verification run
         print(json.dumps({"kernel_verify": verify_kernels()}))
         return
