@@ -442,6 +442,24 @@ def test_ballquery_bitmask_matches_jnp(n, s, k, radius):
     np.testing.assert_array_equal(got[ok], want[ok])
 
 
+def test_ballquery_bitmask_chunked_packing():
+    """N > 4096 switches to n_chunk-wide pack slabs (VMEM cap): the
+    multi-block concat path must still be exact."""
+    from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
+
+    rng = np.random.RandomState(23)
+    xyz = jnp.asarray(rng.uniform(size=(1, 8192, 3)).astype(np.float32))
+    new_xyz = xyz[:, ::64, :]  # 128 centers
+    radius = 0.12
+    want = np.asarray(_ballquery_jnp(radius, 16, xyz, new_xyz))
+    got = np.asarray(
+        ballquery_bitmask(radius, 16, xyz, new_xyz, interpret=True)
+    )
+    ok = _boundary_ok(xyz, new_xyz, radius)
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(got[ok], want[ok])
+
+
 def test_ballquery_bitmask_rejects_unaligned_n():
     from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
 
