@@ -40,13 +40,34 @@ from pointnet12_tpu.ops.distance import square_distance
 # The bitmask kernel (MXU bit-pack + lowest-set-bit extraction) wins from
 # N=1024 up and needs no XLA-side prep; dense prefix-rank wins below
 # (bitmask's N/16 word lanes run underfull there). Above N=4096 the
-# single-pass bitmask kernel exceeds the 16 MB scoped-VMEM limit (its
-# (N, N/16) pack matrix plus full-width distance tile OOM at N=8192 by
-# 148 KB — chunked packing would lift this; future work), so the
-# voxel-grid kernel keeps serving aligned N >= 8192 as in round 2.
+# kernel switches to chunked packing (the single-slab (N, N/16) pack
+# matrix plus full-width distance tile would exceed the 16 MB scoped-VMEM
+# limit at N=8192 by 148 KB), which needs a pow2 chunk divisor <= 4096 of
+# N. At aligned N >= 8192 the voxel-grid kernel takes over: its candidate
+# windows stay constant-width while the bitmask scan grows linearly with
+# N; the bitmask kernel still covers large-N shapes the grid kernel's
+# alignment rules exclude (S % 128 != 0).
 BITMASK_MIN_N = 1024
-BITMASK_MAX_N = 4096  # single-pass VMEM budget; see OOM note above
 GRID_MIN_N = 8192
+
+
+def _bitmask_ok(n: int) -> bool:
+    """Shapes ballquery_bitmask accepts: N % 16 == 0, and above the
+    single-slab limit a pow2 chunk divisor of N (kernel precondition)."""
+    if n % 16 != 0 or n < BITMASK_MIN_N:
+        return False
+    if n <= 4096:
+        return True
+    return any(n % c == 0 for c in (4096, 2048, 1024, 512, 256, 128))
+
+
+def _route(n: int, s: int) -> str:
+    """impl="auto" kernel choice for a (N, S) shape — see crossover table."""
+    if n >= GRID_MIN_N and n % 128 == 0 and s % 128 == 0:
+        return "grid"
+    if _bitmask_ok(n):
+        return "bitmask"
+    return "pallas"
 
 
 def _ballquery_jnp(
@@ -89,15 +110,7 @@ def query_ball_point(
     if impl == "auto":
         from pointnet12_tpu.kernels import dispatch
 
-        if dispatch.pallas_enabled():
-            if N >= GRID_MIN_N and N % 128 == 0 and S % 128 == 0:
-                impl = "grid"
-            elif BITMASK_MIN_N <= N <= BITMASK_MAX_N and N % 16 == 0:
-                impl = "bitmask"
-            else:
-                impl = "pallas"
-        else:
-            impl = "jnp"
+        impl = _route(N, S) if dispatch.pallas_enabled() else "jnp"
     if impl == "grid":
         from pointnet12_tpu.kernels.ballquery_grid import ballquery_grid
 

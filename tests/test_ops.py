@@ -214,3 +214,20 @@ def test_sample_and_group_all(clouds):
     assert new_xyz.shape == (B, 1, 3)
     assert grouped.shape == (B, 1, N, 8)
     np.testing.assert_array_equal(np.asarray(new_xyz), 0.0)
+
+
+def test_ballquery_auto_dispatch_table():
+    """The impl="auto" routing policy (ops/ballquery.py crossover table):
+    bitmask from N=1024 (incl. chunked-packing shapes above 4096), dense
+    below / for shapes the bitmask kernel rejects, grid only for aligned
+    N >= 8192."""
+    from pointnet12_tpu.ops.ballquery import _bitmask_ok, _route
+
+    assert _route(256, 64) == "pallas"       # below bitmask floor
+    assert _route(1024, 256) == "bitmask"    # SA2
+    assert _route(4096, 1024) == "bitmask"   # SA1 flagship
+    assert _route(6144, 512) == "bitmask"    # chunked packing (6144 % 2048)
+    assert _route(8192, 1024) == "grid"      # aligned large N
+    assert _route(8192, 100) == "bitmask"    # grid alignment fails -> chunked
+    assert _route(4112, 512) == "pallas"     # 4112 = 16*257: no chunk divisor
+    assert _bitmask_ok(4112) is False
