@@ -250,6 +250,47 @@ def run_cls(n_steps, hard=False):
     }
 
 
+def run_cls_ssg(n_steps, sr=True):
+    """PointNet++ SSG classification under the production precision config
+    (--bf16_grouped --bf16_sr --precise_bn) vs the fp32 torch oracle — the
+    cls-side companion of the semseg_sr case: SR lives in the grouped SA
+    stacks, which plain PointNetCls has none of. 24 classes at N=512 (the
+    cls models' minimum: SA1 samples 512 centers) keeps the task off the
+    100% ceiling."""
+    num_classes, N, B = 24, 512, 16
+    train_ds = SyntheticModelNet("train", num_point=N,
+                                 num_classes=num_classes, size=256)
+    test_ds = SyntheticModelNet("test", num_point=N,
+                                num_classes=num_classes, size=128)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
+
+    torch.manual_seed(2)
+    tmodel = models_torch.PointNet2ClsSsg(num_classes=num_classes)
+    variables = CONVERTERS["pointnet2_cls_ssg"](_state_dict_np(tmodel))
+    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else {}
+    model = get_model(
+        "pointnet2_cls_ssg", num_classes=num_classes, impl="jnp", **kw
+    )
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "cls", 1e-3, 1e-4,
+                               precise_bn_batches=8 if sr else 0)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "cls", 1e-3, 1e-4, channels_first=False)
+    jacc = float(np.mean(jp == eval_lbl))
+    tacc = float(np.mean(tp == eval_lbl))
+    return {
+        "case": "pointnet2_cls_ssg" + ("_bf16_sr" if sr else ""),
+        "steps": n_steps,
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "delta": abs(jacc - tacc),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005,
+    }
+
+
 def run_semseg(n_steps, sr=False):
     num_classes, N, B = 6, 1024, 4
     train_ds = SyntheticScene("train", num_point=N,
@@ -294,9 +335,11 @@ def run_semseg(n_steps, sr=False):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--case",
-                   choices=["cls", "cls_hard", "semseg", "semseg_sr"],
-                   required=True)
+    p.add_argument(
+        "--case",
+        choices=["cls", "cls_hard", "cls_ssg_sr", "semseg", "semseg_sr"],
+        required=True,
+    )
     p.add_argument("--steps", type=int, default=None)
     args = p.parse_args(argv)
     torch.set_num_threads(1)  # 1-core box; avoid thrash with the jax run
@@ -304,6 +347,8 @@ def main(argv=None):
         out = run_cls(args.steps or 1500)
     elif args.case == "cls_hard":
         out = run_cls(args.steps or 2000, hard=True)
+    elif args.case == "cls_ssg_sr":
+        out = run_cls_ssg(args.steps or 300)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
