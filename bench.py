@@ -264,6 +264,21 @@ def verify_kernels():
     out["ballquery_msg"] = int((bqm_p != bqm_j)[okm].sum())
     out["ballquery_msg_bitmask"] = int((bqm_b != bqm_j)[okm].sum())
 
+    # chunked-packing bitmask shape (N > 4096 -> n_chunk slabs; the round-3
+    # dispatch extension routes such shapes to the bitmask kernel when the
+    # grid kernel's S % 128 alignment fails)
+    xyz_big = jax.random.uniform(jax.random.PRNGKey(5), (4, 8192, 3))
+    q_big = xyz_big[:, ::64, :]  # 128 centers
+    bqc_j = np.asarray(_ballquery_jnp(0.12, 16, xyz_big, q_big))
+    bqc_b = np.asarray(ballquery_bitmask(0.12, 16, xyz_big, q_big))
+    d2c = np.sum(
+        (np.asarray(q_big)[:, :, None, :] - np.asarray(xyz_big)[:, None])
+        ** 2,
+        -1,
+    )
+    okc = ~np.any(np.abs(d2c - 0.12**2) < 1e-5, axis=-1)
+    out["ballquery_bitmask_chunked"] = int((bqc_b != bqc_j)[okc].sum())
+
     d_j, i_j = three_nn(xyz, new_xyz, impl="jnp")
     d_p, i_p = three_nn_pallas(xyz, new_xyz)
     # exclude rows with ANY near-tie among the 4 nearest distances: ties
