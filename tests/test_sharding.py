@@ -110,6 +110,74 @@ def test_sharded_semseg_train_step_matches_single_device():
     np.testing.assert_allclose(sa, sb, atol=5e-3, rtol=1e-3)
 
 
+def test_sr_cast_is_shard_invariant():
+    """_sr_to_bf16's random bits hash a GLOBAL flat iota, so partitioning
+    the input over a mesh must not change which way any element rounds —
+    XLA's partitioned iota carries the shard offset. Bit-exact check (the
+    inputs are identical here, so unlike the full-step test below no
+    reassociation noise can flip a carry)."""
+    from pointnet12_tpu.nn.mlp import _sr_to_bf16
+
+    x = jax.random.uniform(KEY, (8, 64, 33), jnp.float32) * 3.0
+    seed = jnp.uint32(1234)
+    ref = np.asarray(jax.jit(_sr_to_bf16)(x, seed).astype(jnp.float32))
+
+    mesh = mesh_lib.make_mesh()
+    sharded = jax.jit(
+        _sr_to_bf16,
+        in_shardings=(mesh_lib.batch_sharding(mesh), mesh_lib.replicated(mesh)),
+        out_shardings=mesh_lib.replicated(mesh),
+    )(jax.device_put(x, mesh_lib.batch_sharding(mesh)), seed)
+    np.testing.assert_array_equal(
+        np.asarray(sharded.astype(jnp.float32)), ref
+    )
+
+
+def test_sharded_sr_flagship_step_matches_single_device():
+    """The PROMOTED benchmark config (--bf16_grouped --bf16_sr) under DP.
+
+    The stochastic-rounding bits derive from a global iota + rng-seed hash,
+    so under SPMD the sharded cast sees the SAME random bits per logical
+    element as the single-device run. Equality is still only statistical,
+    not bitwise: sharded BN batch means use a different fp32 summation tree
+    (per-shard partials + psum), and SR AMPLIFIES those 1-ulp input
+    differences into full bf16-ulp carry flips (measured loss delta ~6e-4
+    on the 8-device CPU mesh — vs ~1e-7 for the fp32 config above). The
+    tolerances below bound that bf16 noise floor; a same-bits bug (e.g. a
+    per-shard iota) would show up orders of magnitude larger."""
+    model = get_model(
+        "pointnet2_semseg",
+        num_classes=4,
+        grouped_dtype=jnp.bfloat16,
+        grouped_sr=True,
+    )
+    pts = jax.random.uniform(KEY, (8, 1024, 9))
+    labels = jax.random.randint(jax.random.PRNGKey(7), (8, 1024), 0, 4)
+    batch = {"points": pts, "label": labels}
+
+    tx = make_optimizer("sgd", learning_rate=1e-2)  # linear in the gradient
+    state_a = create_train_state(model, KEY, pts[:1], tx)
+    state_b = create_train_state(model, KEY, pts[:1], tx)
+
+    step_single = make_train_step(model, task="seg", num_classes=4)
+    state_a, m_a = step_single(state_a, batch, KEY)
+
+    mesh = mesh_lib.make_mesh()
+    step_dp = make_train_step(model, task="seg", num_classes=4, mesh=mesh)
+    state_b, m_b = step_dp(state_b, mesh_lib.shard_batch(batch, mesh), KEY)
+
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 3e-3
+    from jax.flatten_util import ravel_pytree
+
+    pa = np.asarray(ravel_pytree(state_a.params)[0])
+    pb = np.asarray(ravel_pytree(state_b.params)[0])
+    # Measured on the 8-device CPU mesh: 26 / 967k params land past 2e-3
+    # (max 3.1e-3) after ONE SGD step — individual carry flips steer a few
+    # gradient entries, while the update vector stays globally aligned.
+    np.testing.assert_allclose(pa, pb, atol=1e-2, rtol=0)
+    assert np.linalg.norm(pa - pb) / np.linalg.norm(pa) < 2e-3
+
+
 def test_sharded_eval_step_runs():
     model = get_model("pointnet_cls", num_classes=4)
     pts = jax.random.uniform(KEY, (8, 64, 3))
