@@ -88,6 +88,13 @@ def main():
     res["bf16g_sr_ms_draws"] = step_ms(
         {"grouped_dtype": jnp.bfloat16, "grouped_sr": True}
     )
+    # full-bf16 + SR (--bf16 --bf16_sr): FP decoder + head also bf16, all
+    # train casts stochastically rounded — the candidate next flagship if
+    # the quality probe holds (round-2's plain --bf16 lost quality to the
+    # same rounding bias SR fixed for bf16_grouped).
+    res["bf16_full_sr_ms_draws"] = step_ms(
+        {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True}
+    )
     print(json.dumps(res))
 
 

@@ -103,6 +103,14 @@ def run_training(args, task: str):
         model_kwargs["feature_transform"] = args.feature_transform
     elif getattr(args, "bf16", False):
         model_kwargs["dtype"] = jnp.bfloat16
+        if getattr(args, "bf16_sr", False):
+            # full-bf16 SR: stochastically round ALL train-time bf16 casts
+            # — the SA grouped stacks (grouped_dtype follows dtype) AND the
+            # FP decoder / head casts (model ``sr``). Round-2's plain
+            # --bf16 lost converged quality to deterministic rounding bias;
+            # SR is the same fix that recovered --bf16_grouped.
+            model_kwargs["sr"] = True
+            model_kwargs["grouped_sr"] = True
     elif getattr(args, "bf16_grouped", False):
         # selective precision: only the SA grouped stacks go bf16
         model_kwargs["grouped_dtype"] = jnp.bfloat16
@@ -320,9 +328,10 @@ def add_common_args(parser, task: str):
                              "only (the HBM bottleneck); FP decoder, heads "
                              "and everything else stay fp32")
     parser.add_argument("--bf16_sr", action="store_true",
-                        help="with --bf16_grouped: stochastically round the "
-                             "train-time bf16 casts (unbiased quantization "
-                             "of BN stats and backward residuals)")
+                        help="with --bf16_grouped or --bf16: stochastically "
+                             "round the train-time bf16 casts (unbiased "
+                             "quantization of BN stats and backward "
+                             "residuals)")
     parser.add_argument("--precise_bn", type=int, default=0, metavar="N",
                         help="before each eval, replace BN running stats with "
                              "exact pooled statistics over N training batches "

@@ -56,6 +56,11 @@ class PointNet2ClsSSG(nn.Module):
     dtype: Any = jnp.float32
     grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
     grouped_sr: bool = False  # stochastic-round bf16 casts in train
+    # Uniform precision API with PointNet2SemSeg: every dtype-cast in the
+    # cls models lives inside the SA stacks (grouped + group_all), all
+    # governed by grouped_sr; the head is pinned fp32. Accepted so the CLI
+    # can pass one kwarg set across model families.
+    sr: bool = False
 
     @nn.compact
     def __call__(
@@ -90,6 +95,11 @@ class PointNet2ClsMSG(nn.Module):
     dtype: Any = jnp.float32
     grouped_dtype: Any = None  # bf16 SA grouped stacks only; see SetAbstraction
     grouped_sr: bool = False  # stochastic-round bf16 casts in train
+    # Uniform precision API with PointNet2SemSeg: every dtype-cast in the
+    # cls models lives inside the SA stacks (grouped + group_all), all
+    # governed by grouped_sr; the head is pinned fp32. Accepted so the CLI
+    # can pass one kwarg set across model families.
+    sr: bool = False
 
     @nn.compact
     def __call__(

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from pointnet12_tpu.nn.feature_propagation import FeaturePropagation
-from pointnet12_tpu.nn.mlp import BN_EPS, BN_MOMENTUM
+from pointnet12_tpu.nn.mlp import BN_EPS, BN_MOMENTUM, _activation_cast
 from pointnet12_tpu.nn.set_abstraction import SetAbstraction
 
 
@@ -33,6 +33,11 @@ class PointNet2SemSeg(nn.Module):
     # FP decoder / heads / BN inputs outside SA stay in ``dtype``.
     grouped_dtype: Any = None
     grouped_sr: bool = False  # stochastic-round bf16 casts in train
+    # Stochastic rounding for the train-time casts of ``dtype`` itself
+    # (FP decoder SharedMLP stacks + the head's post-BN cast). Pair with
+    # dtype=bfloat16 for the full-bf16 SR config (--bf16 --bf16_sr);
+    # no-op at dtype=fp32.
+    sr: bool = False
 
     @nn.compact
     def __call__(
@@ -62,18 +67,18 @@ class PointNet2SemSeg(nn.Module):
             grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa4"
         )(l3_xyz, l3, train=train, fps_key=_subkey(fps_key, 4))
 
-        l3 = FeaturePropagation([256, 256], dtype=self.dtype, name="fp4")(
-            l3_xyz, l4_xyz, l3, l4, train=train
-        )
-        l2 = FeaturePropagation([256, 256], dtype=self.dtype, name="fp3")(
-            l2_xyz, l3_xyz, l2, l3, train=train
-        )
-        l1 = FeaturePropagation([256, 128], dtype=self.dtype, name="fp2")(
-            l1_xyz, l2_xyz, l1, l2, train=train
-        )
-        l0 = FeaturePropagation([128, 128, 128], dtype=self.dtype, name="fp1")(
-            l0_xyz, l1_xyz, None, l1, train=train
-        )
+        l3 = FeaturePropagation(
+            [256, 256], dtype=self.dtype, sr=self.sr, name="fp4"
+        )(l3_xyz, l4_xyz, l3, l4, train=train)
+        l2 = FeaturePropagation(
+            [256, 256], dtype=self.dtype, sr=self.sr, name="fp3"
+        )(l2_xyz, l3_xyz, l2, l3, train=train)
+        l1 = FeaturePropagation(
+            [256, 128], dtype=self.dtype, sr=self.sr, name="fp2"
+        )(l1_xyz, l2_xyz, l1, l2, train=train)
+        l0 = FeaturePropagation(
+            [128, 128, 128], dtype=self.dtype, sr=self.sr, name="fp1"
+        )(l0_xyz, l1_xyz, None, l1, train=train)
 
         x = nn.Dense(128, dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(l0)
         x = nn.BatchNorm(
@@ -85,7 +90,7 @@ class PointNet2SemSeg(nn.Module):
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x)
-        x = x.astype(self.dtype)
+        x = _activation_cast(self, x, self.dtype, self.sr, train)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name="conv2")(x)

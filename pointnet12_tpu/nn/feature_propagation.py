@@ -21,6 +21,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     dtype: Any = jnp.float32
+    sr: bool = False  # stochastic-round train-time ``dtype`` casts (SharedMLP.sr)
 
     @nn.compact
     def __call__(
@@ -45,4 +46,6 @@ class FeaturePropagation(nn.Module):
             x = jnp.concatenate([feats_fine, interpolated], axis=-1)
         else:
             x = interpolated
-        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(x, train=train)
+        return SharedMLP(self.mlp, dtype=self.dtype, sr=self.sr, name="mlp")(
+            x, train=train
+        )

@@ -71,6 +71,17 @@ def _sr_to_bf16_bwd(seed_shape, g):
 _sr_to_bf16.defvjp(_sr_to_bf16_fwd, _sr_to_bf16_bwd)
 
 
+def _activation_cast(mod: nn.Module, x, dtype, sr: bool, train: bool):
+    """fp32 -> ``dtype`` activation cast, stochastically rounded in train
+    when ``sr`` (each call draws a fresh seed off the dropout rng stream —
+    flax folds a per-call counter, so distinct casts get distinct bits).
+    Eval always uses deterministic round-to-nearest (stable serving)."""
+    if dtype == jnp.float32 or not (sr and train):
+        return x.astype(dtype)
+    seed = jax.random.bits(mod.make_rng("dropout"), (), jnp.uint32)
+    return _sr_to_bf16(x, seed)
+
+
 class MomentBN(nn.Module):
     """BatchNorm parameter/statistics holder for the folded Dense+BN path.
 
@@ -342,10 +353,7 @@ class GroupedSharedMLP(nn.Module):
 
     def _down(self, x, train: bool):
         """fp32 -> self.dtype activation cast, stochastic in train w/ sr."""
-        if self.dtype == jnp.float32 or not (self.sr and train):
-            return x.astype(self.dtype)
-        seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
-        return _sr_to_bf16(x, seed)
+        return _activation_cast(self, x, self.dtype, self.sr, train)
 
     @nn.compact
     def __call__(
@@ -535,10 +543,16 @@ class SharedMLP(nn.Module):
     use_bn: bool = True
     final_act: bool = True
     dtype: Any = jnp.float32
+    # Stochastic rounding for the train-time fp32 -> dtype casts (the
+    # input downcast and each post-BN recast) — same mechanism and
+    # rationale as GroupedSharedMLP.sr: round-to-nearest biases every
+    # cast identically step over step; SR keeps the quantization error
+    # zero-mean. Eval casts stay deterministic.
+    sr: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(self.dtype)
+        x = _activation_cast(self, x, self.dtype, self.sr, train)
         for i, width in enumerate(self.features):
             dense = nn.Dense(
                 width,
@@ -567,7 +581,8 @@ class SharedMLP(nn.Module):
                     name=f"bn_{i}",
                     dtype=jnp.float32,
                     param_dtype=jnp.float32,
-                )(x).astype(self.dtype)
+                )(x)
+                x = _activation_cast(self, x, self.dtype, self.sr, train)
             else:
                 x = dense(x)
             if self.final_act or i < len(self.features) - 1:

@@ -83,9 +83,9 @@ class SetAbstraction(nn.Module):
         ops_impl = "auto" if self.impl == "fused" else self.impl
         if self.group_all:
             new_xyz, grouped = sample_and_group_all(xyz, feats)
-            x = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
-                grouped, train=train
-            )
+            x = SharedMLP(
+                self.mlp, dtype=self.dtype, sr=self.grouped_sr, name="mlp"
+            )(grouped, train=train)
             return new_xyz, jnp.max(x, axis=2)  # max over K neighbors
         fps_idx = farthest_point_sample(
             xyz, self.npoint, key=fps_key, impl=ops_impl

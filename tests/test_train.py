@@ -327,6 +327,42 @@ def test_restore_variables_ignores_optimizer(tmp_path):
     assert logp.shape == (2, 4)
 
 
+def test_bf16_full_sr_trains_and_eval_deterministic():
+    """--bf16 --bf16_sr path: stochastic rounding on ALL train-time bf16
+    casts — SA grouped stacks (grouped_sr), FP decoder SharedMLP stacks and
+    the head cast (model ``sr``). Trains (loss drops) and eval stays
+    bit-deterministic (SR is train-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnet12_tpu.models import get_model
+    from pointnet12_tpu.train import create_train_state, make_optimizer
+    from pointnet12_tpu.train.loop import build_train_step
+
+    model = get_model(
+        "pointnet2_semseg", num_classes=4,
+        dtype=jnp.bfloat16, sr=True, grouped_sr=True,
+    )
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (2, 1024, 9))
+    lbl = jax.random.randint(key, (2, 1024), 0, 4)
+    state = create_train_state(
+        model, key, pts[:1], make_optimizer("adam", steps_per_epoch=10)
+    )
+    step = jax.jit(build_train_step(model, task="seg", num_classes=4))
+    losses = []
+    for i in range(6):
+        state, m = step(state, {"points": pts, "label": lbl},
+                        jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    e1, _ = model.apply(variables, pts, train=False)
+    e2, _ = model.apply(variables, pts, train=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
 def test_bf16_grouped_sr_trains_and_eval_deterministic():
     """--bf16_sr path: stochastic rounding on the grouped bf16 casts.
 
