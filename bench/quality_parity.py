@@ -257,11 +257,16 @@ def run_cls_ssg(n_steps, sr=True):
     stacks, which plain PointNetCls has none of. 24 classes at N=512 (the
     cls models' minimum: SA1 samples 512 centers) keeps the task off the
     100% ceiling."""
+    # Sizing note (measured): a first attempt at size=256/128 and 300 steps
+    # was NOT a plateau comparison — the torch side overfit the tiny train
+    # set (train loss 0.21 vs 0.42) while SR's quantization noise
+    # regularized the JAX side, landing jax 0.875 vs torch 0.727. Larger
+    # sets + longer horizon let both stacks reach a real plateau.
     num_classes, N, B = 24, 512, 16
     train_ds = SyntheticModelNet("train", num_point=N,
-                                 num_classes=num_classes, size=256)
+                                 num_classes=num_classes, size=512)
     test_ds = SyntheticModelNet("test", num_point=N,
-                                num_classes=num_classes, size=128)
+                                num_classes=num_classes, size=256)
     batches = _batches(train_ds, B, n_steps)
     eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
     eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
@@ -348,7 +353,7 @@ def main(argv=None):
     elif args.case == "cls_hard":
         out = run_cls(args.steps or 2000, hard=True)
     elif args.case == "cls_ssg_sr":
-        out = run_cls_ssg(args.steps or 300)
+        out = run_cls_ssg(args.steps or 800)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
