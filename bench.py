@@ -299,28 +299,65 @@ def verify_kernels():
     return out
 
 
-def _wait_for_backend(attempts=6, sleep_s=180):
+def _wait_for_backend(attempts=6, sleep_s=180, probe_timeout_s=240):
     """Retry TPU backend init: the axon tunnel on this box has transient
-    outages (observed: init raises UNAVAILABLE or hangs for minutes). A
-    failed init is cached inside jax, so clear backends between tries."""
+    outages (observed: init raises UNAVAILABLE *or hangs indefinitely*).
+
+    A hang cannot be recovered in-process (backend init is not
+    interruptible), so each attempt first probes in a SUBPROCESS under a
+    hard timeout; only after a probe succeeds does the in-process init
+    run (the tunnel can still die inside that small window, but the
+    multi-hour-outage case no longer wedges the benchmark). A failed init
+    is cached inside jax, so backends are cleared between tries."""
+    import subprocess
+    import sys as _sys
+
+    probe_src = (
+        "import jax, jax.numpy as jnp; "
+        "jax.block_until_ready(jnp.zeros((8,)) + 1)"
+    )
     for i in range(attempts):
+        probe_ok = False
         try:
-            jax.block_until_ready(jnp.zeros((8,)) + 1)
-            return
-        except Exception as e:  # noqa: BLE001 — backend init errors vary
-            if i == attempts - 1:
-                raise
+            probe_ok = (
+                subprocess.run(
+                    [_sys.executable, "-c", probe_src],
+                    timeout=probe_timeout_s,
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            pass  # hung init — exactly the case the subprocess guards
+        if probe_ok:
+            try:
+                jax.block_until_ready(jnp.zeros((8,)) + 1)
+                return
+            except Exception as e:  # noqa: BLE001 — init errors vary
+                if i == attempts - 1:
+                    raise
+                print(
+                    f"# backend init failed ({type(e).__name__}) after a "
+                    f"good probe, retry {i + 1}/{attempts - 1}",
+                    flush=True,
+                )
+        elif i == attempts - 1:
+            raise RuntimeError(
+                f"TPU backend unreachable after {attempts} probes "
+                f"({probe_timeout_s}s timeout each, {sleep_s}s apart)"
+            )
+        else:
             print(
-                f"# backend init failed ({type(e).__name__}), "
-                f"retry {i + 1}/{attempts - 1} in {sleep_s}s",
+                f"# backend probe {i + 1}/{attempts} failed/hung, "
+                f"retry in {sleep_s}s",
                 flush=True,
             )
-            try:
-                jax.clear_caches()
-                jax.extend.backend.clear_backends()
-            except Exception:  # noqa: BLE001
-                pass
-            time.sleep(sleep_s)
+        try:
+            jax.clear_caches()
+            jax.extend.backend.clear_backends()
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(sleep_s)
 
 
 def main(argv=None):
