@@ -369,14 +369,20 @@ def main(argv=None):
         print(json.dumps({"kernel_verify": verify_kernels()}))
         return
 
-    # Headline config (round 3): --bf16_grouped --bf16_sr — SA grouped
-    # stacks in bf16 with STOCHASTICALLY ROUNDED train-time casts, paired
-    # with --precise_bn for eval. Quality evidence (docs/PERFORMANCE.md +
-    # docs/QUALITY_PARITY.md): 40-epoch flagship-shape probe reaches mIoU
-    # 0.5328 vs fp32's 0.535 (0.2%, inside the 0.5% BASELINE band; plain
-    # round-to-nearest bf16_grouped plateaued at 0.39 and stays demoted).
+    # Headline config (round 3): --bf16 --bf16_sr — ALL train-time bf16
+    # casts (SA grouped stacks + FP decoder + head) STOCHASTICALLY
+    # ROUNDED, paired with --precise_bn for eval. Quality evidence
+    # (docs/PERFORMANCE.md + docs/QUALITY_PARITY.md): 40-epoch
+    # flagship-shape probe reaches mIoU 0.5345 vs fp32's 0.535 (0.0005,
+    # inside the 0.5% BASELINE band; bf16_grouped+SR reached 0.5328 and
+    # is ~1 ms/step slower; plain round-to-nearest bf16 configs stay
+    # demoted — deterministic rounding bias costs real plateau quality).
     clouds_per_sec, sec_per_step, spread, draws = bench_train_step(
-        model_kwargs={"grouped_dtype": jnp.bfloat16, "grouped_sr": True}
+        model_kwargs={
+            "dtype": jnp.bfloat16,
+            "sr": True,
+            "grouped_sr": True,
+        }
     )
     # secondary: the fully-fp32 config (previous headline), still tracked
     # so precision-policy regressions stay visible round over round.
@@ -386,15 +392,15 @@ def main(argv=None):
     verify = verify_kernels()
     result = {
         "metric": "clouds/sec/chip PointNet++ SSG semseg fwd+bwd "
-                  "(B=16, N=4096, bf16-grouped + stochastic rounding)",
+                  "(B=16, N=4096, full-bf16 + stochastic rounding)",
         "value": round(clouds_per_sec, 2),
         "unit": "clouds/sec",
         "vs_baseline": round(clouds_per_sec / V100_REF_CLOUDS_PER_SEC, 3),
         "step_ms": round(sec_per_step * 1e3, 2),
         "step_ms_draws": [round(d * 1e3, 2) for d in draws],
         "spread": round(spread, 3),
-        "headline_config": "--bf16_grouped --bf16_sr (+--precise_bn at "
-                           "eval); quality: 40-epoch probe mIoU 0.5328 vs "
+        "headline_config": "--bf16 --bf16_sr (+--precise_bn at eval); "
+                           "quality: 40-epoch probe mIoU 0.5345 vs "
                            "fp32 0.535 — docs/PERFORMANCE.md",
         "fp32_step_ms": round(fp32_sec * 1e3, 2),
         "fp32_step_ms_draws": [round(d * 1e3, 2) for d in fp32_draws],

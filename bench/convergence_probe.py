@@ -16,8 +16,9 @@ Usage:
 Configs mirror the CLI precision flags (cli/common.py):
   fp32          (no flags)
   bf16_grouped  --bf16_grouped --precise_bn 8
-  bf16g_sr      --bf16_grouped --bf16_sr --precise_bn 8   (current flagship)
-  bf16_full_sr  --bf16 --bf16_sr --precise_bn 8           (candidate)
+  bf16g_sr      --bf16_grouped --bf16_sr --precise_bn 8
+  bf16_full_sr  --bf16 --bf16_sr --precise_bn 8   (flagship since its
+                probe landed at mIoU 0.5345, 0.0005 from fp32's plateau)
 """
 
 import argparse

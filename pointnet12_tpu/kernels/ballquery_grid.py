@@ -222,11 +222,20 @@ def _cell_offsets(
 
 
 def _take1(arr2d, idx2d):
-    """Fast batched 1-D gather: arr (B, N), idx (B, *S) -> (B, *S)."""
+    """Fast batched 1-D gather: arr (B, N), idx (B, *S) -> (B, *S).
+
+    Callers only pass sort/unsort permutation payloads, so indices are
+    in [0, N) by construction; mode="clip" skips the oob select
+    jnp.take's default mode="fill" would emit (see ops/gather.py)."""
     B, N = arr2d.shape
     flat = idx2d.reshape(B, -1).astype(jnp.int32)
     off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
-    out = jnp.take(arr2d.reshape(-1), (flat + off).reshape(-1), axis=0)
+    out = jnp.take(
+        arr2d.reshape(-1),
+        (flat + off).reshape(-1),
+        axis=0,
+        mode="clip",
+    )
     return out.reshape(idx2d.shape)
 
 

@@ -134,7 +134,7 @@ def test_sr_cast_is_shard_invariant():
 
 
 def test_sharded_sr_flagship_step_matches_single_device():
-    """The PROMOTED benchmark config (--bf16_grouped --bf16_sr) under DP.
+    """The PROMOTED benchmark config (--bf16 --bf16_sr) under DP.
 
     The stochastic-rounding bits derive from a global iota + rng-seed hash,
     so under SPMD the sharded cast sees the SAME random bits per logical
@@ -148,7 +148,8 @@ def test_sharded_sr_flagship_step_matches_single_device():
     model = get_model(
         "pointnet2_semseg",
         num_classes=4,
-        grouped_dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16,
+        sr=True,
         grouped_sr=True,
     )
     pts = jax.random.uniform(KEY, (8, 1024, 9))
