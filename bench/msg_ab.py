@@ -85,8 +85,14 @@ def main():
     )
     print(json.dumps({"partial": out}), flush=True)
     out["bf16_all_ms"] = step_ms({"dtype": jnp.bfloat16})
+    print(json.dumps({"partial": out}), flush=True)
+    # the promoted flagship precision config (--bf16 --bf16_sr)
+    out["bf16_full_sr_ms"] = step_ms(
+        {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True}
+    )
     out["speedup_grouped"] = out["base_ms"] / out["bf16_grouped_ms"]
     out["speedup_grouped_sr"] = out["base_ms"] / out["bf16_grouped_sr_ms"]
+    out["speedup_full_sr"] = out["base_ms"] / out["bf16_full_sr_ms"]
     print(json.dumps(out), flush=True)
 
 

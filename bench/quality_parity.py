@@ -252,9 +252,8 @@ def run_cls(n_steps, hard=False):
 
 def run_cls_ssg(n_steps, sr=True):
     """PointNet++ SSG classification under the production precision config
-    (--bf16_grouped --bf16_sr --precise_bn) vs the fp32 torch oracle — the
-    cls-side companion of the semseg_sr case: SR lives in the grouped SA
-    stacks, which plain PointNetCls has none of. 24 classes at N=512 (the
+    (--bf16 --bf16_sr --precise_bn) vs the fp32 torch oracle — the
+    cls-side companion of the semseg_sr case. 24 classes at N=512 (the
     cls models' minimum: SA1 samples 512 centers) keeps the task off the
     100% ceiling."""
     # Sizing note (measured): a first attempt at size=256/128 and 300 steps
@@ -274,7 +273,7 @@ def run_cls_ssg(n_steps, sr=True):
     torch.manual_seed(2)
     tmodel = models_torch.PointNet2ClsSsg(num_classes=num_classes)
     variables = CONVERTERS["pointnet2_cls_ssg"](_state_dict_np(tmodel))
-    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else {}
+    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
     model = get_model(
         "pointnet2_cls_ssg", num_classes=num_classes, impl="jnp", **kw
     )
@@ -309,10 +308,10 @@ def run_semseg(n_steps, sr=False):
     torch.manual_seed(1)
     tmodel = models_torch.PointNet2SemSeg(num_classes=num_classes, channel=9)
     variables = CONVERTERS["pointnet2_semseg"](_state_dict_np(tmodel))
-    # sr: the production speed config (--bf16_grouped --bf16_sr
-    # --precise_bn) against the UNCHANGED fp32 torch oracle — the direct
-    # quality-parity statement for the fast config.
-    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else {}
+    # sr: the production speed config (--bf16 --bf16_sr --precise_bn,
+    # the promoted flagship) against the UNCHANGED fp32 torch oracle —
+    # the direct quality-parity statement for the fast config.
+    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
     model = get_model(
         "pointnet2_semseg", num_classes=num_classes, impl="jnp", **kw
     )

@@ -51,7 +51,8 @@ def main():
     model = get_model(
         "pointnet2_semseg",
         num_classes=NUM_CLASSES,
-        grouped_dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16,
+        sr=True,
         grouped_sr=True,
     )
     key = jax.random.PRNGKey(0)
@@ -73,7 +74,11 @@ def main():
                     return st, ()
 
                 final, _ = lax.scan(body, state, None, length=k)
-                return final.step
+                # DO return a param leaf, NOT final.step: `step` is just
+                # +1 per iteration, so XLA constant-folds it and DCEs the
+                # whole training computation (measured: negative marginal
+                # times on the first run of this script).
+                return jax.tree.leaves(final.params)[0]
 
             return run
 

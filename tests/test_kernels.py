@@ -236,6 +236,11 @@ def test_ballquery_pallas_small_s(clouds):
         dict(B=2, J=3, R=96, C=32, M=64),     # FP dref shape class
         dict(B=1, J=1, R=512, C=16, M=256),   # multi m-tile
         dict(B=2, J=3, R=40, C=8, M=16),      # tiny M (< 128), odd R chunk
+        # MSG K=128 backward shape class: values (16384, 128) f32 = 8 MB
+        # per block overflowed scoped VMEM double-buffered (on-chip OOM by
+        # 128 KB); exercises the R-split + accumulate-over-r-steps path
+        # (_plan picks rblk < R here).
+        dict(B=2, J=1, R=16384, C=128, M=512),
     ],
 )
 def test_segment_matmul_pallas_matches_jnp(shape):
