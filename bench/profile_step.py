@@ -7,8 +7,9 @@ Usage:
   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
   PYTHONPATH=/root/repo:/root/.axon_site python bench/profile_step.py [out_dir]
 
-Pass --sr to profile the round-3 flagship precision config
-(--bf16_grouped --bf16_sr) instead of fp32.
+Pass --sr to profile the bf16_grouped+SR config (--bf16_grouped --bf16_sr);
+pass --full_sr to profile the promoted flagship (--bf16 --bf16_sr, all
+train-time casts stochastically rounded). Default is fp32.
 """
 
 import collections
@@ -92,9 +93,13 @@ def parse(out_dir):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--sr"]
-    sr = "--sr" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if a not in ("--sr", "--full_sr")]
     out_dir = argv[0] if argv else "/tmp/prof_step"
-    kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True} if sr else None
+    if "--full_sr" in sys.argv[1:]:
+        kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True}
+    elif "--sr" in sys.argv[1:]:
+        kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True}
+    else:
+        kw = None
     capture(out_dir, kw)
     parse(out_dir)

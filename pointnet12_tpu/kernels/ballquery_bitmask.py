@@ -8,67 +8,80 @@ touches every candidate column per selected neighbor:
   * dense:  K passes of ``sum([rank <= k])`` over (TS, N)    — N=4096 wide
   * grid:   K masked-min passes over (TS, 3*R_W*128=1152) candidates
 
-This kernel compresses the in-radius mask 16:1 BEFORE extraction, so the
-K sequential passes run on (TS, N/16) int32 words instead:
+This kernel compresses the in-radius mask 32:1 BEFORE extraction, so the
+K sequential passes run on (TS, N/32) int32 words instead:
 
   1. ``mask = d2 <= r^2`` per 128-query tile, like the dense kernel.
      (Direct-form VPU distances: routing the cross term through an MXU
      ``(TS,3)x(3,N)`` HIGHEST matmul was tried and measured 2.2x SLOWER
      kernel-wide — 1.65 vs 0.76 ms at SA1 — the K=3 contraction wastes
      whole MXU passes; recorded as a dead end in docs/PERFORMANCE.md.)
-  2. **bit-pack on the MXU**: ``words = mask @ P`` with the static matrix
-     ``P[n, w] = 2^(n mod 16) * [n div 16 == w]``. All inputs (0/1 and
-     powers of two) are exact in bf16 and every word sums below 2^16, so
-     a stock bf16 matmul with f32 accumulation packs EXACTLY — bit j of
-     word w is point ``16w + j``'s in-radius flag. 16 bits per lane (not
-     32) keeps sums inside f32's exact-integer range and away from the
-     int32 sign bit.
+  2. **bit-pack on the MXU**: ``lo = mask @ P_lo``, ``hi = mask @ P_hi``
+     with static matrices ``P_lo[n, w] = 2^(n mod 32) * [n div 32 == w,
+     n mod 32 < 16]`` and ``P_hi`` covering bits 16-31 (weights
+     ``2^(n mod 32 - 16)``); ``word = lo | hi << 16``. All matmul inputs
+     (0/1 and powers of two) are exact in bf16 and every column sums
+     below 2^16, so stock bf16 matmuls with f32 accumulation pack
+     EXACTLY — bit j of word w is point ``32w + j``'s in-radius flag.
+     The hi/lo split exists because a single 32-bit-weight matmul would
+     need f32 to represent sums up to 2^32-1 exactly, which it cannot;
+     two half-width matmuls cost the same MXU FLOPs as the round-3 v1
+     kernel's single 16-bit pack while HALVING the word-lane count every
+     extraction pass runs over (v1 packed 16 bits/word to dodge exactly
+     this; the shift-or assembly step was the missing piece).
   3. **extract first-K-by-index** (reference semantics, SURVEY.md §2:
      ascending ORIGINAL index, NOT k-nearest): K iterations of
         iso = w & -w                      # lowest set bit per word
         pos = exponent(float(iso))        # bit position via f32 bitcast
-        g   = where(w == 0, N, 16*lane + pos)
+        pos = where(iso < 0, 31, pos)     # bit 31: int32 convert invalid
+        g   = where(w == 0, N, 32*lane + pos)
         m   = min(g, axis=lanes)          # k-th neighbor index
         w   = where(g == m, w ^ iso, w)   # clear exactly that bit
-     Each iteration runs on N/16 lanes of int32 — 16x less data than a
-     dense pass — and needs no data-dependent extraction chain: ``g`` is
-     unique per lane, so the clear needs no argmin gather (Mosaic has no
-     dynamic gather; that wall killed the fused eval-SA kernels, see
+     Each iteration runs on N/32 lanes of int32 — 32x less data than a
+     dense pass (at the SA1 flagship shape, N=4096 -> 128 words: exactly
+     one vreg row) — and needs no data-dependent extraction chain: ``g``
+     is unique per lane, so the clear needs no argmin gather (Mosaic has
+     no dynamic gather; that wall killed the fused eval-SA kernels, see
      docs/PERFORMANCE.md round-3 dead ends).
   4. slots past the in-radius count see ``m == N`` and are replaced by
      the first column (reference pad-with-first).
 
-The float-exponent trick is exact: ``iso`` is 0 or a power of two below
-2^16, both exactly converted to f32, and ``(bits >> 23) - 127`` reads the
-unbiased exponent. ``iso == 0`` gives pos = -127 but is masked by the
-``w == 0`` guard.
+The float-exponent trick is exact: ``iso`` is 0 or a single power of two;
+int32 -> f32 conversion of powers of two up to 2^30 is exact and
+``(bits >> 23) - 127`` reads the unbiased exponent. The two invalid
+cases are both masked: ``iso == 0`` (pos = -127) by the ``w == 0`` guard,
+and ``iso == 1<<31`` (negative int32, nonsense after conversion) by the
+explicit ``iso < 0 -> 31`` select.
 
 Unlike the grid kernel there is NO XLA-side prep (no sorts, no offsets
 table, no unsort gather) — the call is a single pallas_call, which also
 removes the prep's serialization inside the train step.
 
 Measured standalone on v5e (bench/bitmask_ab.py, on-chip verified exact
-at every shape; the dense kernel is the cross-session anchor — it held
-4.40-4.57 ms across every session below):
+at every shape; the dense kernel is the cross-session anchor):
 
-    shape                       bitmask      dense       grid v5
-    SA1  N=4096 S=1024 K=32     1.11-1.30*   4.40-4.57   1.74-2.03  ms
-    SA2  N=1024 S=256  K=32     0.15-0.20    0.27-0.35   0.43
-    SA3  N=256  S=64   K=32     0.057        0.018       —
-    MSG  N=4096 S=512  K=64     1.09         4.16        14.27
+    shape                       v2 (32-bit)  v1 (16-bit)  dense       grid v5
+    SA1  N=4096 S=1024 K=32     **1.024**    1.11-1.30*   4.40-4.57   1.74-2.16
+    SA2  N=1024 S=256  K=32     **0.143**    0.15-0.20    0.27-0.35   0.43-0.50
+    SA3  N=256  S=64   K=32     0.036        0.057        0.018-0.045 —
+    MSG  N=4096 S=512  K=64     **0.872**    1.09         4.16-4.26   14.27-14.33
 
-    * one early session read 0.764 — never replicated across four later
-      compiles (1.11/1.14/1.26/1.30); treated as this box's documented
-      favorable-draw band, not the expected value.
+    (v2 session anchors: dense 4.551 / 0.311 / 0.045 / 4.257.)
+    * one early v1 session read 0.764 — never replicated across four
+      later compiles (1.11/1.14/1.26/1.30); treated as this box's
+      documented favorable-draw band, not the expected value.
 
-~1.6-1.8x over the grid kernel at the flagship shape (plus the grid's
-XLA-side prep leaves the step entirely) and 3.8x over dense at the MSG
-wide-K shape: extraction passes dominate every ball-query kernel, and
-this one runs them on 16x less data. The binding end-to-end number is
-the same-process flagship step A/B: 15.92 -> 14.61 ms
-(bench/bitmask_step_ab.py). Dense keeps N < 1024 (the word lanes run
-underfull); above N=4096 packing switches to n_chunk-wide slabs to stay
-under the 16 MB scoped-VMEM limit (`ops/ballquery.py` dispatch table).
+The v2 32-bit packing (round-3 continuation) halves the word-lane count
+of every extraction pass — at SA1 the words fit exactly one vreg row —
+for 8-25% kernel-level gains over v1 (the distance+pack phase, which
+packing width does not change, bounds the rest). ~2x over the grid
+kernel at the flagship shape (plus the grid's XLA-side prep leaves the
+step entirely) and 4.9x over dense at the MSG wide-K shape. Dense keeps
+N < 1024: SA3's 0.036-vs-0.045 reading is inside this box's micro-kernel
+session noise (the v1 session measured the same dense kernel at 0.018
+same-process) and worth <=0.02 ms/step, so the crossover stays put.
+Above N=4096 packing switches to n_chunk-wide slabs to stay under the
+16 MB scoped-VMEM limit (`ops/ballquery.py` dispatch table).
 """
 
 import functools
@@ -81,16 +94,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pointnet12_tpu.kernels.ballquery_pallas import _pick_tile
 
-_BITS = 16  # bits packed per int32 word (f32-exact matmul accumulation)
+_BITS = 32  # bits packed per int32 word (hi/lo halves keep matmuls exact)
 
 
-def _pack_matrix(n: int) -> jnp.ndarray:
-    """(N, N/16) bf16: P[n, w] = 2^(n%16) iff n//16 == w else 0."""
+def _pack_matrices(n: int) -> jnp.ndarray:
+    """(2, N, N/32) bf16, stacked [P_lo, P_hi]:
+
+    P_lo[n, w] = 2^(n%32)      iff n//32 == w and n%32 < 16
+    P_hi[n, w] = 2^(n%32 - 16) iff n//32 == w and n%32 >= 16
+
+    Each column sums below 2^16, so bf16 matmuls with f32 accumulation
+    are exact; ``word = lo | hi << 16`` assembles the 32-bit mask word.
+    """
     w = n // _BITS
     rows = lax.broadcasted_iota(jnp.int32, (n, w), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, w), 1)
-    weight = jnp.exp2((rows % _BITS).astype(jnp.float32))
-    return jnp.where(rows // _BITS == cols, weight, 0.0).astype(jnp.bfloat16)
+    bit = rows % _BITS
+    own = rows // _BITS == cols
+    lo = jnp.where(own & (bit < 16), jnp.exp2(bit.astype(jnp.float32)), 0.0)
+    hi = jnp.where(
+        own & (bit >= 16), jnp.exp2((bit - 16).astype(jnp.float32)), 0.0
+    )
+    return jnp.stack([lo, hi]).astype(jnp.bfloat16)
 
 
 def _chunk_rows(p, n_chunk):
@@ -113,33 +138,36 @@ def _iotas(n_total, tile_s, nsample):
     hoist invariant code out of fori_loop bodies (measured with the chunk
     row slices; see _chunk_rows)."""
     iota_k = lax.broadcasted_iota(jnp.int32, (tile_s, nsample), 1)
-    lane16 = (
+    lane32 = (
         lax.broadcasted_iota(jnp.int32, (tile_s, n_total // _BITS), 1) * _BITS
     )
-    return iota_k, lane16
+    return iota_k, lane32
 
 
 def _tile_out(qt, rows, n_total, pk, iotas, *, radius, nsample, tile_s):
     """One query tile: (3, TS) centers + per-chunk point rows -> (TS, K)."""
     N = n_total
     r2 = radius * radius
-    iota_k, lane16 = iotas
+    iota_k, lane32 = iotas
     qx = qt[0:1, :].reshape(tile_s, 1)
     qy = qt[1:2, :].reshape(tile_s, 1)
     qz = qt[2:3, :].reshape(tile_s, 1)
     # pack per n_chunk-wide slice: the block-diagonal structure of the
-    # full (N, N/16) pack matrix repeats every n_chunk columns, so one
-    # (n_chunk, n_chunk/16) matrix serves every chunk and the (TS, N)
+    # full (N, N/32) pack matrices repeats every n_chunk columns, so one
+    # (n_chunk, n_chunk/32) hi/lo pair serves every chunk and the (TS, N)
     # distance tile never materializes at once (VMEM: the single-slab
     # form OOMs the 16 MB scoped limit at N=8192).
+    pk_lo, pk_hi = pk[0], pk[1]
     blocks = []
     for x, y, z in rows:
         d2 = (qx - x) ** 2 + (qy - y) ** 2 + (qz - z) ** 2  # (TS, n_chunk)
         mask = (d2 <= r2).astype(jnp.bfloat16)
-        blocks.append(jnp.dot(mask, pk, preferred_element_type=jnp.float32))
+        lo = jnp.dot(mask, pk_lo, preferred_element_type=jnp.float32)
+        hi = jnp.dot(mask, pk_hi, preferred_element_type=jnp.float32)
+        blocks.append(lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16))
     words = (
         jnp.concatenate(blocks, axis=1) if len(blocks) > 1 else blocks[0]
-    ).astype(jnp.int32)  # (TS, W) — exact, sums < 2^16
+    )  # (TS, W) int32 — exact: each half summed < 2^16 before the shift-or
 
     def sel(k, carry):
         w, out = carry
@@ -148,7 +176,10 @@ def _tile_out(qt, rows, n_total, pk, iotas, *, radius, nsample, tile_s):
             lax.bitcast_convert_type(iso.astype(jnp.float32), jnp.int32)
             >> 23
         ) - 127
-        g = jnp.where(w == 0, N, lane16 + pos)
+        # bit 31: iso is INT32_MIN, whose f32 conversion is negative and
+        # the exponent read above nonsense — select the position directly
+        pos = jnp.where(iso < 0, 31, pos)
+        g = jnp.where(w == 0, N, lane32 + pos)
         m = jnp.min(g, axis=1, keepdims=True)  # (TS, 1)
         out = jnp.where(iota_k == k, m, out)
         w = jnp.where(g == m, w ^ iso, w)
@@ -231,7 +262,7 @@ def ballquery_bitmask(
             )
     p = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, N)
     q = jnp.transpose(new_xyz.astype(jnp.float32), (0, 2, 1))  # (B, 3, S)
-    pk = _pack_matrix(n_chunk)
+    pk = _pack_matrices(n_chunk)  # (2, n_chunk, n_chunk/32) [lo, hi]
     tile_s = _pick_tile(S)
 
     kw = dict(
@@ -251,8 +282,8 @@ def ballquery_bitmask(
                     (1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (n_chunk, n_chunk // _BITS),
-                    lambda b, t: (0, 0),
+                    (2, n_chunk, n_chunk // _BITS),
+                    lambda b, t: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -271,8 +302,8 @@ def ballquery_bitmask(
             pl.BlockSpec((1, 3, S), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_chunk, n_chunk // _BITS),
-                lambda b: (0, 0),
+                (2, n_chunk, n_chunk // _BITS),
+                lambda b: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -28,22 +28,21 @@ from pointnet12_tpu.ops.distance import square_distance
 
 # impl="auto" crossovers (module-level so benchmarks can sweep them
 # without editing the dispatch). Measured same-process on v5e
-# (bench/bitmask_ab.py, round 3; SA1 bitmask ranges over four sessions
-# with the dense kernel as a stable anchor):
+# (bench/bitmask_ab.py, round 3, v2 32-bit packing; dense is the
+# cross-session anchor — see kernels/ballquery_bitmask.py for v1 bands):
 #
-#   shape                      bitmask     dense       grid
-#   SA1  N=4096 S=1024 K=32    1.11-1.30   4.40-4.57   1.74-2.03  ms
-#   SA2  N=1024 S=256  K=32    0.15-0.20   0.27-0.35   0.431
-#   SA3  N=256  S=64   K=32    0.057       0.018       —
-#   MSG  N=4096 S=512  K=64    1.092       4.157       14.267
+#   shape                      bitmask v2  dense        grid
+#   SA1  N=4096 S=1024 K=32    1.024       4.40-4.57    1.74-2.16  ms
+#   SA2  N=1024 S=256  K=32    0.143       0.27-0.35    0.43-0.50
+#   SA3  N=256  S=64   K=32    0.036       0.018-0.045  —
+#   MSG  N=4096 S=512  K=64    0.872       4.16-4.26    14.27-14.33
 #
 # The bitmask kernel (MXU bit-pack + lowest-set-bit extraction) wins from
 # N=1024 up and needs no XLA-side prep; dense prefix-rank wins below
-# (bitmask's N/16 word lanes run underfull there). Above N=4096 the
-# kernel switches to chunked packing (the single-slab (N, N/16) pack
-# matrix plus full-width distance tile would exceed the 16 MB scoped-VMEM
-# limit at N=8192 by 148 KB), which needs a pow2 chunk divisor <= 4096 of
-# N. At aligned N >= 8192 the voxel-grid kernel takes over: its candidate
+# (bitmask's N/32 word lanes run underfull there). Above N=4096 the
+# kernel switches to chunked packing (the single-slab pack matrices plus
+# full-width distance tile would exceed the 16 MB scoped-VMEM limit at
+# N=8192), which needs a pow2 chunk divisor <= 4096 of N. At aligned N >= 8192 the voxel-grid kernel takes over: its candidate
 # windows stay constant-width while the bitmask scan grows linearly with
 # N; the bitmask kernel still covers large-N shapes the grid kernel's
 # alignment rules exclude (S % 128 != 0).
@@ -52,9 +51,10 @@ GRID_MIN_N = 8192
 
 
 def _bitmask_ok(n: int) -> bool:
-    """Shapes ballquery_bitmask accepts: N % 16 == 0, and above the
-    single-slab limit a pow2 chunk divisor of N (kernel precondition)."""
-    if n % 16 != 0 or n < BITMASK_MIN_N:
+    """Shapes ballquery_bitmask accepts: N % 32 == 0 (32-bit mask words),
+    and above the single-slab limit a pow2 chunk divisor of N (kernel
+    precondition)."""
+    if n % 32 != 0 or n < BITMASK_MIN_N:
         return False
     if n <= 4096:
         return True

@@ -469,5 +469,5 @@ def test_ballquery_bitmask_rejects_unaligned_n():
     from pointnet12_tpu.kernels.ballquery_bitmask import ballquery_bitmask
 
     xyz = jnp.zeros((1, 300, 3))
-    with pytest.raises(ValueError, match="N % 16"):
+    with pytest.raises(ValueError, match="N % 32"):
         ballquery_bitmask(0.3, 8, xyz, xyz[:, :10], interpret=True)
