@@ -8,6 +8,11 @@ inference (SURVEY.md §3.5); this gives deployments a direct path:
     labels = p.predict_labels(points)       # (B, N, C) -> (B, N) int32
     log_probs = p(points)                   # (B, N, C) -> (B, N, classes)
 
+    # Ahead-of-time deployment artifact (weights baked in, no model code
+    # or checkpoint on the serving host — just jax + the blob):
+    p.save_exported("model.stablehlo", batch_size=16, num_points=4096)
+    q = load_exported("model.stablehlo")    # same __call__/predict_labels
+
 The forward is jitted once per input shape (static shapes — feed fixed-size
 batches for zero recompiles; `pad_batch` right-pads a short final batch).
 Eval-mode (running BN stats, no dropout) with BN weight-folding; measured
@@ -115,6 +120,91 @@ class Predictor:
 
     def predict_labels(self, points) -> np.ndarray:
         return np.asarray(jnp.argmax(self(points), axis=-1), np.int32)
+
+    def export_serialized(
+        self, batch_size: int, num_points: int, num_features: int = 3
+    ) -> bytes:
+        """Ahead-of-time compile + serialize the eval forward (jax.export).
+
+        Returns a single self-contained StableHLO artifact: the weights are
+        baked in as constants, so deployments load ONE blob and call it with
+        `(batch_size, num_points, num_features)` float32 batches — no flax,
+        no checkpoint restore, no Python model code on the serving host
+        (only jax + the artifact). The artifact is platform-pinned to the
+        exporting backend (a TPU export replays the Pallas/Mosaic kernels
+        via their serialized `tpu_custom_call`s; export on the deployment
+        platform). Use `load_exported` to run it.
+        """
+        if self._mesh is not None:
+            raise ValueError(
+                "export captures a single-device forward; build the "
+                "Predictor with mesh=None to export, then shard batches "
+                "across exported replicas at the serving layer"
+            )
+        from jax import export as jax_export
+
+        variables = self._variables
+        fn = jax.jit(
+            lambda pts: self._model.apply(variables, pts, train=False)[0]
+        )
+        sample = jax.ShapeDtypeStruct(
+            (batch_size, num_points, num_features), jnp.float32
+        )
+        exported = jax_export.export(
+            fn,
+            # Mosaic (Pallas TPU) kernels lower to `tpu_custom_call`; the
+            # kernel payload is serialized inside the artifact, so replaying
+            # it on the same platform is safe — opt out of the stability
+            # check that would otherwise reject any custom call.
+            disabled_checks=[
+                jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
+            ],
+        )(sample)
+        return bytes(exported.serialize())
+
+    def save_exported(
+        self, path, batch_size: int, num_points: int, num_features: int = 3
+    ) -> None:
+        """`export_serialized` straight to a file (one deployable blob)."""
+        blob = self.export_serialized(batch_size, num_points, num_features)
+        with open(path, "wb") as f:
+            f.write(blob)
+
+
+class ExportedPredictor:
+    """Calls a deserialized `Predictor.export_serialized` artifact.
+
+    Same call surface as `Predictor` (`__call__` -> log-probs,
+    `predict_labels`), but the forward is the ahead-of-time compiled
+    StableHLO module — no model construction or tracing at load time.
+    """
+
+    def __init__(self, exported):
+        self._exported = exported
+        self._call = jax.jit(exported.call)
+
+    @property
+    def input_shape(self):
+        """The pinned (batch, points, features) shape the artifact accepts."""
+        return tuple(self._exported.in_avals[0].shape)
+
+    def __call__(self, points) -> jnp.ndarray:
+        return self._call(jnp.asarray(points, jnp.float32))
+
+    def predict_labels(self, points) -> np.ndarray:
+        return np.asarray(jnp.argmax(self(points), axis=-1), np.int32)
+
+
+def load_exported(source) -> ExportedPredictor:
+    """Load an exported artifact from a path or raw bytes."""
+    from jax import export as jax_export
+
+    if isinstance(source, (bytes, bytearray)):
+        blob = bytes(source)
+    else:
+        with open(source, "rb") as f:
+            blob = f.read()
+    return ExportedPredictor(jax_export.deserialize(blob))
 
 
 def pad_batch(points: np.ndarray, batch_size: int):
