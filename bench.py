@@ -122,11 +122,13 @@ def bench_train_step(model_kwargs=None, draws=2):
     return BATCH / worse, worse, max(spread, spread2), pair
 
 
-def bench_inference():
+def bench_inference(model_kwargs=None):
     """Eval-mode forward clouds/sec (the serving metric)."""
     from pointnet12_tpu.models import get_model
 
-    model = get_model("pointnet2_semseg", num_classes=NUM_CLASSES)
+    model = get_model(
+        "pointnet2_semseg", num_classes=NUM_CLASSES, **(model_kwargs or {})
+    )
     key = jax.random.PRNGKey(0)
     points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT_DIM))
     variables = model.init({"params": key}, points[:1], train=False)

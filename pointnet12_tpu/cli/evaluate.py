@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--ignore_class", type=int, default=None,
                    help="seg label excluded from loss/accuracy/mIoU")
+    p.add_argument("--bf16", action="store_true",
+                   help="evaluate with bfloat16 activations (the serving "
+                        "precision; params/BN stats stay fp32 so any "
+                        "checkpoint restores unchanged)")
     return p.parse_args(argv)
 
 
@@ -79,6 +83,11 @@ def main(argv=None):
     kwargs = {"num_classes": num_classes}
     if model_name in ("pointnet_cls", "pointnet_seg"):
         kwargs["feature_transform"] = args.feature_transform
+    if args.bf16:
+        # eval-mode bf16: quality validated by the 40-epoch probe (mIoU
+        # 0.5345 vs fp32 0.535, docs/PERFORMANCE.md) — eval casts are
+        # plain round-to-nearest (SR is train-only)
+        kwargs["dtype"] = jnp.bfloat16
     model = get_model(model_name, **kwargs)
 
     rng = jax.random.PRNGKey(0)

@@ -105,6 +105,23 @@ def test_train_evaluate_visualize_roundtrip(tmp_path):
     assert "miou" in out and 0.0 <= out["miou"] <= 1.0
     assert len(out["iou_per_class"]) == 5
 
+    # --bf16: same checkpoint evaluated at the bf16 serving precision
+    # (params/BN stats stay fp32) — metrics must track the fp32 run
+    out16 = evaluate.main(
+        [
+            "--task", "seg",
+            "--model_name", "pointnet",
+            "--dataset", "synthetic",
+            "--num_point", "128",
+            "--num_classes", "5",
+            "--batchsize", "4",
+            "--checkpoint", f"{exp}/checkpoints",
+            "--bf16",
+        ]
+    )
+    assert abs(out16["overall_acc"] - out["overall_acc"]) < 0.05
+    assert abs(out16["miou"] - out["miou"]) < 0.05
+
     viz_dir = tmp_path / "viz"
     visualize.main(
         [

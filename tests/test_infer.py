@@ -99,3 +99,30 @@ def test_pad_batch():
     assert padded.shape == (8, 16, 3) and n == 3
     same, n2 = pad_batch(pts, 3)
     assert same is pts and n2 == 3
+
+
+def test_predictor_bf16_serving_dtype(tmp_path):
+    """Predictor(dtype=bf16) restores an fp32 checkpoint unchanged (params
+    and BN stats are pinned fp32 under any dtype) and tracks the fp32
+    predictor within bf16 tolerance — the fast serving configuration
+    (converged quality evidence: the 40-epoch probe, docs/PERFORMANCE.md)."""
+    model = get_model("pointnet2_semseg", num_classes=5, impl="jnp")
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (2, 1024, 9))
+    state = create_train_state(model, key, pts[:1], make_optimizer())
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(0, state, metrics={"score": 0.0})
+    mgr.wait()
+
+    p32 = Predictor.from_checkpoint(
+        "pointnet2_semseg", str(tmp_path), num_classes=5, impl="jnp"
+    )
+    p16 = Predictor.from_checkpoint(
+        "pointnet2_semseg", str(tmp_path), num_classes=5, impl="jnp",
+        dtype=jnp.bfloat16,
+    )
+    lp32, lp16 = np.asarray(p32(pts)), np.asarray(p16(pts))
+    assert lp16.dtype == np.float32
+    assert float(np.max(np.abs(lp16 - lp32))) < 0.2
+    agree = (lp16.argmax(-1) == lp32.argmax(-1)).mean()
+    assert agree > 0.95
