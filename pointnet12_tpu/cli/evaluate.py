@@ -17,7 +17,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pointnet12_tpu.cli.common import _resolve_model_name, evaluate
+from pointnet12_tpu.cli.common import (
+    _resolve_model_name,
+    evaluate,
+    model_precision_kwargs,
+)
 from pointnet12_tpu.data import (
     Feeder,
     get_classification_dataset,
@@ -47,9 +51,11 @@ def parse_args(argv=None):
     p.add_argument("--ignore_class", type=int, default=None,
                    help="seg label excluded from loss/accuracy/mIoU")
     p.add_argument("--bf16", action="store_true",
-                   help="evaluate with bfloat16 activations (the serving "
-                        "precision; params/BN stats stay fp32 so any "
-                        "checkpoint restores unchanged)")
+                   help="evaluate with bfloat16 activations (optional "
+                        "memory-saving mode; fp32 remains the default — and "
+                        "measured-fastest — serving precision, see "
+                        "docs/PERFORMANCE.md; params/BN stats stay fp32 so "
+                        "any checkpoint restores unchanged)")
     return p.parse_args(argv)
 
 
@@ -83,11 +89,10 @@ def main(argv=None):
     kwargs = {"num_classes": num_classes}
     if model_name in ("pointnet_cls", "pointnet_seg"):
         kwargs["feature_transform"] = args.feature_transform
-    if args.bf16:
-        # eval-mode bf16: quality validated by the 40-epoch probe (mIoU
-        # 0.5345 vs fp32 0.535, docs/PERFORMANCE.md) — eval casts are
-        # plain round-to-nearest (SR is train-only)
-        kwargs["dtype"] = jnp.bfloat16
+    # eval-mode bf16: quality validated by the 40-epoch probe (mIoU 0.5345
+    # vs fp32 0.535, docs/PERFORMANCE.md) — eval casts are plain
+    # round-to-nearest (SR is train-only, and sr is inert at eval)
+    kwargs.update(model_precision_kwargs(model_name, args))
     model = get_model(model_name, **kwargs)
 
     rng = jax.random.PRNGKey(0)

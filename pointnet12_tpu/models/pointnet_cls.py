@@ -7,7 +7,7 @@ Returns ``(log_probs, trans_feat)`` — trans_feat feeds the orthogonality
 regularizer when the feature transform is enabled.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -20,6 +20,11 @@ class PointNetCls(nn.Module):
     num_classes: int = 40
     feature_transform: bool = False
     dropout_rate: float = 0.4
+    # Activation dtype for the encoder (the O(N) work); params/BN stats stay
+    # fp32 and the FC head is pinned fp32, matching the pointnet2 models'
+    # convention — so the CLI precision flags apply uniformly across the zoo.
+    dtype: Any = jnp.float32
+    sr: bool = False  # stochastic-round train-time bf16 casts (nn/mlp.py)
 
     @nn.compact
     def __call__(
@@ -34,8 +39,11 @@ class PointNetCls(nn.Module):
         x, _, trans_feat = PointNetEncoder(
             global_feat=True,
             feature_transform=self.feature_transform,
+            dtype=self.dtype,
+            sr=self.sr,
             name="feat",
         )(points, train=train)
+        x = x.astype(jnp.float32)  # head pinned fp32 (B, 1024) — noise-cost
         x = nn.Dense(512, name="fc1")(x)
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -13,7 +13,7 @@ beyond xyz (e.g. normals) bypass the input transform, matching the
 reference's split/concat behavior.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,26 +22,34 @@ from pointnet12_tpu.nn.mlp import (
     BN_EPS,
     BN_MOMENTUM,
     MomentBN,
+    _activation_cast,
     _folded_dense_bn,
 )
 from pointnet12_tpu.nn.tnet import TNet
 
 
-def _dense_bn(x, width, name, train):
-    dense = nn.Dense(width, name=f"{name}")
+def _dense_bn(mod, x, width, name, train, dtype=jnp.float32, sr=False):
+    dense = nn.Dense(
+        width, name=f"{name}", dtype=dtype, param_dtype=jnp.float32
+    )
     if not train:
         # eval: fold BN into the matmul columns via running statistics
         # (exact affine; see nn/mlp.py::_folded_dense_bn).
         return _folded_dense_bn(
-            x, dense, MomentBN(name=f"{name}_bn"), False, jnp.float32
+            x, dense, MomentBN(name=f"{name}_bn"), False, dtype
         )
     x = dense(x)
-    return nn.BatchNorm(
+    # BN compute pinned fp32 (bf16 BN corrupts running stats, nn/mlp.py);
+    # recast after — stochastic in train when sr (unbiased quantization).
+    x = nn.BatchNorm(
         use_running_average=False,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
         name=f"{name}_bn",
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
     )(x)
+    return _activation_cast(mod, x, dtype, sr, train)
 
 
 class PointNetEncoder(nn.Module):
@@ -57,6 +65,8 @@ class PointNetEncoder(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
     input_transform: bool = True
+    dtype: Any = jnp.float32  # activation dtype; params/BN stats stay fp32
+    sr: bool = False  # stochastic-round train-time bf16 casts (nn/mlp.py)
 
     @nn.compact
     def __call__(
@@ -67,20 +77,28 @@ class PointNetEncoder(nn.Module):
 
         trans = None
         if self.input_transform:
-            trans = TNet(k=3, name="stn")(xyz, train=train)
+            trans = TNet(k=3, dtype=self.dtype, sr=self.sr, name="stn")(
+                xyz, train=train
+            )
             xyz = jnp.einsum("bnk,bkj->bnj", xyz, trans)
         x = jnp.concatenate([xyz, extra], axis=-1) if C > 3 else xyz
 
-        x = nn.relu(_dense_bn(x, 64, "conv1", train))
+        x = nn.relu(_dense_bn(self, x, 64, "conv1", train, self.dtype, self.sr))
 
         trans_feat = None
         if self.feature_transform:
-            trans_feat = TNet(k=64, name="fstn")(x, train=train)
+            trans_feat = TNet(
+                k=64, dtype=self.dtype, sr=self.sr, name="fstn"
+            )(x, train=train)
+            # fp32 transform x (possibly bf16) features promotes to fp32;
+            # the next _dense_bn casts back down — precision of the learned
+            # alignment is preserved at bf16 activation cost elsewhere.
             x = jnp.einsum("bnk,bkj->bnj", x, trans_feat)
 
         pointfeat = x  # (B, N, 64)
-        x = nn.relu(_dense_bn(x, 128, "conv2", train))
-        x = _dense_bn(x, 1024, "conv3", train)  # no ReLU before global max
+        x = nn.relu(_dense_bn(self, x, 128, "conv2", train, self.dtype, self.sr))
+        # no ReLU before global max
+        x = _dense_bn(self, x, 1024, "conv3", train, self.dtype, self.sr)
         global_feat = jnp.max(x, axis=1)  # (B, 1024)
 
         if self.global_feat:

@@ -7,6 +7,8 @@ the predicted k×k transform starts near identity. The input is then bmm'd by
 the transform (done by the caller).
 """
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -17,15 +19,25 @@ class TNet(nn.Module):
     """Predicts a (k, k) alignment transform from a point set.
 
     Input ``(B, N, k)`` channels-last; output ``(B, k, k)``.
+
+    ``dtype`` governs the pointwise conv stack (the O(N) work); the FC head
+    and the predicted transform itself stay fp32 — the transform multiplies
+    raw coordinates, and at k*k scalars per cloud the head is compute-noise.
+    ``sr`` stochastically rounds the train-time bf16 casts (nn/mlp.py).
     """
 
     k: int = 3
+    dtype: Any = jnp.float32
+    sr: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         B = x.shape[0]
-        x = SharedMLP([64, 128, 1024], name="mlp")(x, train=train)
-        x = jnp.max(x, axis=1)  # global max over points -> (B, 1024)
+        x = SharedMLP(
+            [64, 128, 1024], dtype=self.dtype, sr=self.sr, name="mlp"
+        )(x, train=train)
+        # global max over points -> (B, 1024); FC head pinned fp32
+        x = jnp.max(x, axis=1).astype(jnp.float32)
         for i, width in enumerate([512, 256]):
             x = nn.Dense(width, name=f"fc_{i}")(x)
             x = nn.BatchNorm(
