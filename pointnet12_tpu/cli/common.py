@@ -211,6 +211,7 @@ def run_training(args, task: str):
             if mesh is not None:
                 batch = mesh_lib.shard_batch(batch, mesh)
             state, m = train_step(state, batch, rng)
+            mesh_lib.cpu_mesh_sync(mesh, m)
             losses.append(m["loss"])
             accs.append(m["accuracy"])
         train_loss = float(jnp.mean(jnp.stack(losses)))
@@ -225,7 +226,7 @@ def run_training(args, task: str):
             from pointnet12_tpu.train import recompute_batch_stats
 
             state = recompute_batch_stats(
-                state, train_feeder, args.precise_bn, rng
+                state, train_feeder, args.precise_bn, rng, mesh=mesh
             )
         eval_metrics = evaluate(
             state, eval_step, test_feeder, num_classes, task, mesh,
@@ -277,6 +278,7 @@ def evaluate(
         if mesh is not None:
             batch = mesh_lib.shard_batch(batch, mesh)
         m = eval_step(state, batch)
+        mesh_lib.cpu_mesh_sync(mesh, m)
         contrib = {
             "loss_sum": m["loss"] * m["count"],
             "correct_sum": m["accuracy"] * m["count"],

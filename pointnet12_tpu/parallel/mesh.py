@@ -50,3 +50,20 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, split along the leading axis."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def cpu_mesh_sync(mesh: Optional[Mesh], x) -> None:
+    """Serialize sharded-step dispatch on the XLA:CPU backend (tests only).
+
+    TPU devices run enqueued programs in submission order, so two in-flight
+    sharded steps can never interleave their collectives. XLA:CPU's
+    in-process communicator has no such ordering: with donation chaining,
+    device 0 can start step k+1 while device 7 is still inside step k, the
+    two steps' all-gathers rendezvous with each other, and the stuck
+    collective aborts the process (observed as AwaitAndLogIfStuck ->
+    SIGABRT on the 8-virtual-device test mesh). Blocking on each step's
+    output keeps the per-device program streams in lock-step; a no-op in
+    cost terms on CPU where the tests run, and never taken on TPU.
+    """
+    if mesh is not None and jax.default_backend() == "cpu":
+        jax.block_until_ready(x)

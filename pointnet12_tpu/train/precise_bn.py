@@ -48,6 +48,7 @@ def recompute_batch_stats(
     feeder,
     num_batches: int,
     rng: Optional[jax.Array] = None,
+    mesh=None,
 ):
     """Return a copy of ``state`` whose batch_stats are exact pooled
     statistics over up to ``num_batches`` batches from ``feeder``.
@@ -55,11 +56,16 @@ def recompute_batch_stats(
     Runs train-mode forwards (batch statistics active) without updating
     params. Deterministic FPS (eval convention); dropout keyed by ``rng``
     but irrelevant to the statistics of layers before it.
+
+    With ``mesh`` (the training CLI's data-parallel mesh), the stats pass
+    uses the SAME shardings as the train step — batch sharded over the
+    ``data`` axis, params/stats replicated — so mesh-replicated state and
+    host batches mix without an implicit reshard (the per-batch statistics
+    are whole-batch moments; XLA inserts the cross-shard reductions).
     """
     rng = jax.random.PRNGKey(0) if rng is None else rng
 
-    @jax.jit
-    def stats_of(params, batch_stats, points):
+    def stats_fn(params, batch_stats, points):
         _, mut = state.apply_fn(
             {"params": params, "batch_stats": batch_stats},
             points,
@@ -68,6 +74,21 @@ def recompute_batch_stats(
             rngs={"dropout": rng},
         )
         return _recover_batch_stats(mut["batch_stats"], batch_stats)
+
+    if mesh is None:
+        stats_of = jax.jit(stats_fn)
+        put_points = jnp.asarray
+    else:
+        from pointnet12_tpu.parallel import mesh as mesh_lib
+
+        repl = mesh_lib.replicated(mesh)
+        data = mesh_lib.batch_sharding(mesh)
+        stats_of = jax.jit(
+            stats_fn, in_shardings=(repl, repl, data), out_shardings=repl
+        )
+
+        def put_points(x):
+            return jax.device_put(jnp.asarray(x), data)
 
     sum_mean = None  # accumulates mean_b (for "mean") and var_b + mean_b^2 (for "var")
     n = 0
@@ -82,8 +103,12 @@ def recompute_batch_stats(
         if n >= num_batches:
             break
         bstats = stats_of(
-            state.params, state.batch_stats, jnp.asarray(batch["points"])
+            state.params, state.batch_stats, put_points(batch["points"])
         )
+        if mesh is not None:
+            from pointnet12_tpu.parallel.mesh import cpu_mesh_sync
+
+            cpu_mesh_sync(mesh, bstats)
         # for var leaves accumulate var_b + mean_b^2 (sibling mean lives at
         # the same subtree under key "mean")
         def acc_leaf(path, leaf):

@@ -74,6 +74,42 @@ def test_train_cls_cli_data_parallel(tmp_path):
     assert records[0]["eval_count"] == 512
 
 
+def test_train_semseg_cli_flagship_recipe_data_parallel(tmp_path):
+    """The FULL flagship recipe through run_training's mesh branch (VERDICT
+    r3 item 6): pointnet2_semseg, batchsize 8 over the 8 virtual devices,
+    --bf16 --bf16_sr, --ignore_class, and --precise_bn — which forces
+    train/precise_bn.py::recompute_batch_stats to handle mesh-replicated
+    state + host batches (it now shards the stats pass like the train
+    step). N=1024 is the model's minimum (SA1 samples 1024 centers)."""
+    from pointnet12_tpu.cli import train_semseg
+
+    best = train_semseg.main(
+        [
+            "--model_name", "pointnet2",
+            "--dataset", "synthetic",
+            "--epoch", "1",
+            "--batchsize", "8",
+            "--num_point", "1024",
+            "--num_classes", "5",
+            "--ignore_class", "0",
+            "--bf16", "--bf16_sr",
+            "--precise_bn", "2",
+            "--log_dir", str(tmp_path),
+            "--no-augment",
+        ]
+    )
+    assert 0.0 <= best <= 1.0
+    exp = glob.glob(str(tmp_path / "seg-pointnet2-*"))[0]
+    log = open(f"{exp}/logs/train.txt").read()
+    assert "not divisible" not in log  # the mesh branch, not the fallback
+    records = [
+        json.loads(line) for line in open(f"{exp}/logs/metrics.jsonl")
+    ]
+    # masked eval under DP sharding aggregated every non-ignored point
+    assert "miou" in records[0] and 0.0 <= records[0]["miou"] <= 1.0
+    assert records[0]["eval_count"] > 0
+
+
 def test_train_evaluate_visualize_roundtrip(tmp_path):
     from pointnet12_tpu.cli import evaluate, train_semseg, visualize
 
