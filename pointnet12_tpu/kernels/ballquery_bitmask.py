@@ -238,7 +238,8 @@ def ballquery_bitmask(
     """(B, S, nsample) int32 group indices; see module docstring.
 
     Same contract as ballquery_pallas (first-K-by-index, pad-with-first).
-    Requires ``N % 16 == 0``; callers dispatch elsewhere otherwise.
+    Requires ``N % 32 == 0`` (32 bits per packed word); callers dispatch
+    elsewhere otherwise.
     ``tiled_grid=True`` (default) runs a (B, S/tile) grid — one program
     per query tile, letting Pallas double-buffer the small q/out blocks;
     measured mildly but consistently faster than the (B,) grid + in-kernel

@@ -27,6 +27,16 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
 
+# EXPERIMENT knob (bench/eval_flat_ab.py) — MEASURED DEAD END, keep False.
+# Hypothesis was: run the EVAL-mode grouped MLP chain on a flat (B, S*K, C)
+# view to skip the ~0.5 ms/step of {1,3,2,0} relayout copies on the
+# gathered grouped tensors (with BN folded there is no stat-reduce to want
+# the grouped layout). On-chip A/B (round 4): flat 7.83 ms vs base 5.99 ms
+# eval forward — SLOWER, same direction as the train-mode flat experiment
+# (+8.5 ms; NOTE below). XLA re-inserts the relayout at the K-max reshape
+# boundary and loses the matmul fusions on the way. Exact (logit delta 0).
+EVAL_FLAT_MLP = False
+
 
 @jax.custom_vjp
 def _sr_to_bf16(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
@@ -404,6 +414,10 @@ class GroupedSharedMLP(nn.Module):
             bias,
         )
         x = self._down(x, train)
+        flat_eval = fold and self.pool and EVAL_FLAT_MLP
+        if flat_eval:
+            Bq, Sq, Kq, _Cq = x.shape
+            x = x.reshape(Bq, Sq * Kq, _Cq)
 
         # NOTE (measured, do not "simplify"): running this stack on a FLAT
         # (B, S*K, C) view to dodge the {1,3,2,0} relayout copies was tried
@@ -452,6 +466,8 @@ class GroupedSharedMLP(nn.Module):
                     )(x)
                     x = self._down(x, train)
             if last and self.pool:
+                if flat_eval:  # back to grouped 4-D only for the K-max
+                    x = x.reshape(Bq, Sq, Kq, -1)
                 # max over K commutes with the monotonic ReLU: pooling the
                 # pre-ReLU tensor means the last layer's (B, S, K, C)
                 # activation is never written back through a ReLU pass.
