@@ -10,6 +10,10 @@ Usage:
 Pass --sr to profile the bf16_grouped+SR config (--bf16_grouped --bf16_sr);
 pass --full_sr to profile the promoted flagship (--bf16 --bf16_sr, all
 train-time casts stochastically rounded). Default is fp32.
+
+Pass --model NAME to profile another zoo config at its BASELINE shape
+(e.g. --model pointnet2_cls_msg: B=24, N=1024, cls task — the round-4
+MSG per-op profile).
 """
 
 import collections
@@ -23,21 +27,35 @@ import jax.numpy as jnp
 BATCH, NUM_POINT, NUM_CLASSES, FEAT = 16, 4096, 13, 9
 
 
-def capture(out_dir, model_kwargs=None):
+# per-model BASELINE shapes (name -> task, B, N, C, num_classes); the
+# flagship keeps its module-level constants, cls models use bench/zoo.py's
+SHAPES = {
+    "pointnet2_semseg": ("seg", BATCH, NUM_POINT, FEAT, NUM_CLASSES),
+    "pointnet_cls": ("cls", 24, 1024, 3, 40),
+    "pointnet2_cls_ssg": ("cls", 24, 1024, 3, 40),
+    "pointnet2_cls_msg": ("cls", 24, 1024, 3, 40),
+    "pointnet_seg": ("seg", 16, 4096, 3, 13),
+}
+
+
+def capture(out_dir, model_kwargs=None, model_name="pointnet2_semseg"):
     from pointnet12_tpu.models import get_model
     from pointnet12_tpu.train import create_train_state, make_optimizer
     from pointnet12_tpu.train.loop import build_train_step
 
-    model = get_model(
-        "pointnet2_semseg", num_classes=NUM_CLASSES, **(model_kwargs or {})
-    )
+    task, B, N, C, ncls = SHAPES[model_name]
+    model = get_model(model_name, num_classes=ncls, **(model_kwargs or {}))
     key = jax.random.PRNGKey(0)
-    points = jax.random.uniform(key, (BATCH, NUM_POINT, FEAT))
-    labels = jax.random.randint(key, (BATCH, NUM_POINT), 0, NUM_CLASSES)
+    points = jax.random.uniform(key, (B, N, C))
+    labels = (
+        jax.random.randint(key, (B,), 0, ncls)
+        if task == "cls"
+        else jax.random.randint(key, (B, N), 0, ncls)
+    )
     batch = {"points": points, "label": labels}
     tx = make_optimizer("adam", steps_per_epoch=100)
     state = create_train_state(model, key, points[:1], tx)
-    step = jax.jit(build_train_step(model, task="seg", num_classes=NUM_CLASSES))
+    step = jax.jit(build_train_step(model, task=task, num_classes=ncls))
 
     for _ in range(3):  # compile + warm
         state, m = step(state, batch, key)
@@ -93,13 +111,19 @@ def parse(out_dir):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a not in ("--sr", "--full_sr")]
+    args = sys.argv[1:]
+    model_name = "pointnet2_semseg"
+    if "--model" in args:
+        i = args.index("--model")
+        model_name = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    argv = [a for a in args if a not in ("--sr", "--full_sr")]
     out_dir = argv[0] if argv else "/tmp/prof_step"
-    if "--full_sr" in sys.argv[1:]:
+    if "--full_sr" in args:
         kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True}
-    elif "--sr" in sys.argv[1:]:
+    elif "--sr" in args:
         kw = {"grouped_dtype": jnp.bfloat16, "grouped_sr": True}
     else:
         kw = None
-    capture(out_dir, kw)
+    capture(out_dir, kw, model_name)
     parse(out_dir)

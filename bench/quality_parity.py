@@ -295,6 +295,96 @@ def run_cls_ssg(n_steps, sr=True):
     }
 
 
+def run_cls_msg(n_steps, sr=True):
+    """PointNet++ MSG classification under the promoted precision config
+    (--bf16 --bf16_sr, +precise-BN eval) vs the fp32 torch oracle
+    (VERDICT r4 item 5b). MSG is the model with the MOST grouped-SR cast
+    sites (3 radius branches per SA level x 2 MSG levels), so the promoted
+    config's quality claim cannot be transferred from the SSG case — it
+    has to be measured on this topology. N=512 is the model's minimum
+    (SA1 samples 512 centers); 24 classes keeps the synthetic task off
+    the 100% ceiling (same sizing rationale as run_cls_ssg)."""
+    num_classes, N, B = 24, 512, 16
+    train_ds = SyntheticModelNet("train", num_point=N,
+                                 num_classes=num_classes, size=512)
+    test_ds = SyntheticModelNet("test", num_point=N,
+                                num_classes=num_classes, size=256)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
+
+    torch.manual_seed(3)
+    tmodel = models_torch.PointNet2ClsMsg(num_classes=num_classes)
+    variables = CONVERTERS["pointnet2_cls_msg"](_state_dict_np(tmodel))
+    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
+    model = get_model(
+        "pointnet2_cls_msg", num_classes=num_classes, impl="jnp", **kw
+    )
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "cls", 1e-3, 1e-4,
+                               precise_bn_batches=8 if sr else 0)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "cls", 1e-3, 1e-4, channels_first=False)
+    jacc = float(np.mean(jp == eval_lbl))
+    tacc = float(np.mean(tp == eval_lbl))
+    return {
+        "case": "pointnet2_cls_msg" + ("_bf16_sr" if sr else ""),
+        "steps": n_steps,
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "delta": abs(jacc - tacc),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005,
+    }
+
+
+def run_pointnet_seg(n_steps):
+    """PointNet-1 segmentation (BASELINE config 2 — the last config with
+    no convergence-level evidence, VERDICT r4 item 5c) vs the torch
+    oracle, fp32 both sides (the reference config). feature_transform=True
+    exercises the 64x64 T-Net + regularizer exactly as the reference's
+    seg training does."""
+    num_classes, N, B = 6, 1024, 4
+    train_ds = SyntheticScene("train", num_point=N,
+                              num_classes=num_classes, size=128)
+    test_ds = SyntheticScene("test", num_point=N,
+                             num_classes=num_classes, size=32)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.stack([test_ds[i][1] for i in range(len(test_ds))])
+
+    torch.manual_seed(4)
+    # SyntheticScene yields 9-channel points (xyz + rgb + normalized xyz)
+    tmodel = models_torch.PointNetSeg(
+        num_classes=num_classes, feature_transform=True, channel=9
+    )
+    variables = CONVERTERS["pointnet_seg"](
+        _state_dict_np(tmodel), feature_transform=True
+    )
+    model = get_model(
+        "pointnet_seg", num_classes=num_classes, feature_transform=True
+    )
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "seg", 1e-3, 1e-4)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "seg", 1e-3, 1e-4, channels_first=True)
+    jacc = float(np.mean(jp == eval_lbl))
+    tacc = float(np.mean(tp == eval_lbl))
+    jmiou = miou_of(jp.ravel(), eval_lbl.ravel(), num_classes)
+    tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes)
+    return {
+        "case": "pointnet_seg",
+        "steps": n_steps,
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "jax_miou": jmiou, "torch_miou": tmiou,
+        "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005
+        and abs(jmiou - tmiou) <= 0.005,
+    }
+
+
 def run_semseg(n_steps, sr=False):
     num_classes, N, B = 6, 1024, 4
     train_ds = SyntheticScene("train", num_point=N,
@@ -341,7 +431,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument(
         "--case",
-        choices=["cls", "cls_hard", "cls_ssg_sr", "semseg", "semseg_sr"],
+        choices=["cls", "cls_hard", "cls_ssg_sr", "cls_msg_sr",
+                 "pointnet_seg", "semseg", "semseg_sr"],
         required=True,
     )
     p.add_argument("--steps", type=int, default=None)
@@ -353,6 +444,10 @@ def main(argv=None):
         out = run_cls(args.steps or 2000, hard=True)
     elif args.case == "cls_ssg_sr":
         out = run_cls_ssg(args.steps or 800)
+    elif args.case == "cls_msg_sr":
+        out = run_cls_msg(args.steps or 500)
+    elif args.case == "pointnet_seg":
+        out = run_pointnet_seg(args.steps or 240)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
