@@ -154,6 +154,29 @@ def test_three_nn_pallas_duplicate_points():
     )
 
 
+def test_three_nn_pallas_mxu_variant(clouds):
+    """The mxu=True distance tile uses the EXPANSION form (qn + pn - 2q.p),
+    so its d2 values differ from the direct form at fp roundoff — index
+    comparison is masked to fp-stable rows (same criterion as the runtime
+    selfcheck) and distances get an fp-form atol."""
+    from pointnet12_tpu.kernels import selfcheck
+    from pointnet12_tpu.kernels.threenn_pallas import three_nn_pallas
+    from pointnet12_tpu.ops.interpolate import three_nn
+
+    ref = clouds[:, :64]
+    d_want, i_want = three_nn(clouds, ref, impl="jnp")
+    d_got, i_got = three_nn_pallas(clouds, ref, interpret=True, mxu=True)
+    ok = np.asarray(selfcheck.tie_ok_mask(clouds, ref))[..., None]
+    ok = np.broadcast_to(ok, i_want.shape)
+    assert ok.mean() > 0.9
+    np.testing.assert_array_equal(
+        np.asarray(i_got)[ok], np.asarray(i_want)[ok]
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_got), np.asarray(d_want), atol=1e-5
+    )
+
+
 def _boundary_ok(clouds, new_xyz, radius):
     """Rows with no point within fp tolerance of the radius boundary
     (expansion-form vs direct-form distances may legitimately disagree)."""

@@ -64,13 +64,13 @@ def _jax_loss_fn(model, bs, pts, lbl):
     return loss_fn
 
 
-def _torch_grads_as_flax(tmodel, model_name):
+def _torch_grads_as_flax(tmodel, model_name, conv_kwargs=None):
     """Route torch .grad tensors through the weight converter so they land
     in the flax tree layout (gradients transform exactly like weights)."""
     gsd = _state_dict_np(tmodel)  # stats stay as values (unused below)
     for k, p in tmodel.named_parameters():
         gsd[k] = p.grad.detach().numpy()
-    return CONVERTERS[model_name](gsd)["params"]
+    return CONVERTERS[model_name](gsd, **(conv_kwargs or {}))["params"]
 
 
 def _run_jax(model, variables, batches, labels):
@@ -136,8 +136,29 @@ def _assert_grad_parity(jgrads, tgrads, rtol=2e-4, atol=5e-5):
         )
 
 
-def _grad_parity_case(tmodel, model_name, model, pts, lbl, channels_first=True):
-    variables = CONVERTERS[model_name](_state_dict_np(tmodel))
+def _assert_grad_parity_global(jgrads, tgrads, cos_min=0.999,
+                               l2rel_max=0.05):
+    """Global flattened-vector comparison for models where per-element
+    tolerance is the wrong metric: near-tie argmax flips in a max-pool
+    (global 1024-point max, or SA K-max) reroute whole channels' gradients
+    between fp-equivalent inputs, producing sparse large element diffs
+    that carry no signal about correctness."""
+    from jax.flatten_util import ravel_pytree
+
+    ja = np.asarray(ravel_pytree(jgrads)[0])
+    ta = np.asarray(ravel_pytree(tgrads)[0])
+    cos = np.dot(ja, ta) / (np.linalg.norm(ja) * np.linalg.norm(ta))
+    l2rel = np.linalg.norm(ja - ta) / np.linalg.norm(ta)
+    assert cos > cos_min, f"gradient cosine similarity {cos}"
+    assert l2rel < l2rel_max, f"gradient L2 relative error {l2rel}"
+
+
+def _grad_parity_case(tmodel, model_name, model, pts, lbl,
+                      channels_first=True, conv_kwargs=None,
+                      metric="elementwise"):
+    variables = CONVERTERS[model_name](
+        _state_dict_np(tmodel), **(conv_kwargs or {})
+    )
     (_, _), jgrads = jax.value_and_grad(
         _jax_loss_fn(model, variables["batch_stats"], jnp.asarray(pts),
                      jnp.asarray(lbl)),
@@ -151,8 +172,11 @@ def _grad_parity_case(tmodel, model_name, model, pts, lbl, channels_first=True):
         torch.from_numpy(lbl).long().reshape(-1),
     )
     loss.backward()
-    tgrads = _torch_grads_as_flax(tmodel, model_name)
-    _assert_grad_parity(jgrads, tgrads)
+    tgrads = _torch_grads_as_flax(tmodel, model_name, conv_kwargs)
+    if metric == "global":
+        _assert_grad_parity_global(jgrads, tgrads)
+    else:
+        _assert_grad_parity(jgrads, tgrads)
 
 
 def test_grad_parity_pointnet_cls():
@@ -164,6 +188,36 @@ def test_grad_parity_pointnet_cls():
     _grad_parity_case(
         tmodel, "pointnet_cls", model,
         rng.randn(8, 256, 3).astype(np.float32), rng.randint(0, 5, 8),
+    )
+
+
+def test_grad_parity_pointnet_seg():
+    """BASELINE config 2 at its reference settings (9-channel input,
+    feature_transform=True — both T-Nets active). Added in round 4: this
+    was the only model family without a grad-parity case, and its
+    quality-parity run needed the init-equivalence fact to attribute a
+    failed 240-step comparison to trajectory chaos (global 1024-point max
+    + two T-Nets) rather than a bug — measured init loss delta 5e-7,
+    grad correlation 0.99999 at the full case shape.
+
+    Compared as a GLOBAL vector (like the pointnet2 case): the global
+    max-pool has near-tie argmax flips between fp-equivalent channels,
+    which reroute whole channels' gradients — measured 4e-4 max element
+    diff on feat.conv1.kernel with cosine 0.99999+, exactly the
+    signature the global metric exists for."""
+    torch.manual_seed(4)
+    tmodel = models_torch.PointNetSeg(
+        num_classes=6, feature_transform=True, channel=9
+    )
+    _disable_dropout(tmodel)
+    model = get_model("pointnet_seg", num_classes=6, feature_transform=True)
+    rng = np.random.RandomState(4)
+    _grad_parity_case(
+        tmodel, "pointnet_seg", model,
+        rng.randn(4, 512, 9).astype(np.float32),
+        rng.randint(0, 6, (4, 512)),
+        conv_kwargs={"feature_transform": True},
+        metric="global",
     )
 
 
@@ -198,15 +252,7 @@ def test_grad_parity_pointnet2_semseg():
     )
     loss.backward()
     tgrads = _torch_grads_as_flax(tmodel, "pointnet2_semseg")
-
-    from jax.flatten_util import ravel_pytree
-
-    ja = np.asarray(ravel_pytree(jgrads)[0])
-    ta = np.asarray(ravel_pytree(tgrads)[0])
-    cos = np.dot(ja, ta) / (np.linalg.norm(ja) * np.linalg.norm(ta))
-    l2rel = np.linalg.norm(ja - ta) / np.linalg.norm(ta)
-    assert cos > 0.999, f"gradient cosine similarity {cos}"
-    assert l2rel < 0.05, f"gradient L2 relative error {l2rel}"
+    _assert_grad_parity_global(jgrads, tgrads)
 
 
 def test_trajectory_parity_pointnet_cls():
