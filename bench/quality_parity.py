@@ -29,7 +29,20 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize pins TPU; force CPU
+
+# --platform tpu: run the JAX side on the real chip (the torch oracle always
+# runs native CPU). The comparison is statistical-at-plateau (see module
+# docstring), so the JAX platform is free to choose — and for the heavy MSG
+# case it is MANDATORY: jax-on-CPU measured ~2 min/step at the case shape
+# (round 4), i.e. ~17 h for the 500-step horizon, while the chip does the
+# same step in ~10 ms. TPU is also the more faithful platform for the
+# promoted bf16+SR config claims (it is where that config actually runs).
+_PLATFORM = "tpu" if "tpu" in [
+    a.split("=")[-1] for a in sys.argv if a.startswith("--platform")
+] or (len(sys.argv) > 2 and "--platform" in sys.argv
+      and sys.argv[sys.argv.index("--platform") + 1] == "tpu") else "cpu"
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize pins TPU
 
 import numpy as np
 import torch
@@ -38,7 +51,12 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+# CPU: exact jnp reference impls (interpret-mode kernels would be slower
+# still); TPU: the measured auto-dispatch — the production kernel path.
+_IMPL = "jnp" if _PLATFORM == "cpu" else "auto"
 
 from pointnet12_tpu.data.synthetic import SyntheticModelNet, SyntheticScene
 from pointnet12_tpu.models import get_model
@@ -83,7 +101,16 @@ def _batches(dataset, batch_size, n_steps, seed=0):
 def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
                    wd, precise_bn_batches=0):
     params, bs = variables["params"], variables["batch_stats"]
-    tx = make_optimizer("adam", learning_rate=lr, weight_decay=wd)
+    # lr_gamma=1.0: CONSTANT LR, matching the torch side's plain Adam.
+    # make_optimizer's default is the reference StepLR recipe, and with
+    # this harness's steps_per_epoch default of 1 it decays 0.7x every
+    # TWENTY STEPS — a round-4 bug: the jax side's LR was ~0 from step
+    # ~400 while torch trained at 1e-3 throughout. The short r3 cases
+    # passed anyway (their tasks saturate before the decay bites), but
+    # the 1200-step pointnet_seg case froze mid-descent (jax train loss
+    # stuck at 0.125 vs torch 0.019, a 1.9% mIoU gap) until this fix.
+    tx = make_optimizer("adam", learning_rate=lr, weight_decay=wd,
+                        lr_gamma=1.0)
     opt = tx.init(params)
 
     @jax.jit
@@ -179,11 +206,20 @@ def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
             torch.from_numpy(lbl).long().reshape(-1),
         )
         if trans is not None:
+            # UN-squared mean Frobenius norm — the lineage's typo'd
+            # `feature_transform_reguliarzer` (SURVEY.md:69) computes
+            # torch.mean(torch.norm(...)) with no square, matching
+            # losses_lib.feature_transform_regularizer. A round-4 bug here
+            # (** 2 on the norm) had the two stacks optimizing DIFFERENT
+            # objectives: for norm>1 the squared form pins the T-Net to
+            # orthogonality much harder, and the first pointnet_seg run
+            # (1200 steps, feature_transform=True) landed 1.9% apart in
+            # mIoU with the torch side training 0.1 lower in loss.
             d = trans.shape[-1]
             eye = torch.eye(d)[None]
             loss = loss + 1e-3 * torch.mean(
                 torch.norm(torch.bmm(trans, trans.transpose(2, 1)) - eye,
-                           dim=(1, 2)) ** 2
+                           dim=(1, 2))
             )
         loss.backward()
         optim.step()
@@ -275,7 +311,7 @@ def run_cls_ssg(n_steps, sr=True):
     variables = CONVERTERS["pointnet2_cls_ssg"](_state_dict_np(tmodel))
     kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
     model = get_model(
-        "pointnet2_cls_ssg", num_classes=num_classes, impl="jnp", **kw
+        "pointnet2_cls_ssg", num_classes=num_classes, impl=_IMPL, **kw
     )
 
     jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
@@ -318,7 +354,7 @@ def run_cls_msg(n_steps, sr=True):
     variables = CONVERTERS["pointnet2_cls_msg"](_state_dict_np(tmodel))
     kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
     model = get_model(
-        "pointnet2_cls_msg", num_classes=num_classes, impl="jnp", **kw
+        "pointnet2_cls_msg", num_classes=num_classes, impl=_IMPL, **kw
     )
 
     jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
@@ -343,7 +379,16 @@ def run_pointnet_seg(n_steps):
     no convergence-level evidence, VERDICT r4 item 5c) vs the torch
     oracle, fp32 both sides (the reference config). feature_transform=True
     exercises the 64x64 T-Net + regularizer exactly as the reference's
-    seg training does."""
+    seg training does.
+
+    Sizing note (measured): 240 steps — enough for pointnet2_semseg's
+    run_semseg — is NOT a plateau here: init loss/grads match to 5e-7 /
+    corr 0.99999 (same oracle, /tmp-scale check, round 4), but this
+    model's global 1024-point max + two T-Nets make the early trajectory
+    chaotic, and at step 240 one stack had converged (0.99 acc) while the
+    other was still descending (loss 0.40 and falling, acc 0.56). The
+    default horizon is therefore 1200 steps so BOTH stacks reach the
+    task's plateau before comparing."""
     num_classes, N, B = 6, 1024, 4
     train_ds = SyntheticScene("train", num_point=N,
                               num_classes=num_classes, size=128)
@@ -403,7 +448,7 @@ def run_semseg(n_steps, sr=False):
     # the direct quality-parity statement for the fast config.
     kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
     model = get_model(
-        "pointnet2_semseg", num_classes=num_classes, impl="jnp", **kw
+        "pointnet2_semseg", num_classes=num_classes, impl=_IMPL, **kw
     )
 
     jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
@@ -436,6 +481,9 @@ def main(argv=None):
         required=True,
     )
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                   help="JAX-side platform (parsed pre-import at module "
+                        "top; the torch oracle always runs native CPU)")
     args = p.parse_args(argv)
     torch.set_num_threads(1)  # 1-core box; avoid thrash with the jax run
     if args.case == "cls":
@@ -447,7 +495,7 @@ def main(argv=None):
     elif args.case == "cls_msg_sr":
         out = run_cls_msg(args.steps or 500)
     elif args.case == "pointnet_seg":
-        out = run_pointnet_seg(args.steps or 240)
+        out = run_pointnet_seg(args.steps or 1200)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
