@@ -374,7 +374,7 @@ def run_cls_msg(n_steps, sr=True):
     }
 
 
-def run_pointnet_seg(n_steps):
+def run_pointnet_seg(n_steps, seed=0):
     """PointNet-1 segmentation (BASELINE config 2 — the last config with
     no convergence-level evidence, VERDICT r4 item 5c) vs the torch
     oracle, fp32 both sides (the reference config). feature_transform=True
@@ -394,11 +394,11 @@ def run_pointnet_seg(n_steps):
                               num_classes=num_classes, size=128)
     test_ds = SyntheticScene("test", num_point=N,
                              num_classes=num_classes, size=32)
-    batches = _batches(train_ds, B, n_steps)
+    batches = _batches(train_ds, B, n_steps, seed=seed)
     eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
     eval_lbl = np.stack([test_ds[i][1] for i in range(len(test_ds))])
 
-    torch.manual_seed(4)
+    torch.manual_seed(4 + seed)
     # SyntheticScene yields 9-channel points (xyz + rgb + normalized xyz)
     tmodel = models_torch.PointNetSeg(
         num_classes=num_classes, feature_transform=True, channel=9
@@ -420,6 +420,7 @@ def run_pointnet_seg(n_steps):
     tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes)
     return {
         "case": "pointnet_seg",
+        "seed": seed,
         "steps": n_steps,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
         "jax_miou": jmiou, "torch_miou": tmiou,
@@ -481,6 +482,11 @@ def main(argv=None):
         required=True,
     )
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0,
+                   help="perturb init + batch order (pointnet_seg only): "
+                        "both stacks re-run as an independent draw of the "
+                        "same training process — used to measure the "
+                        "comparison's seed-to-seed noise floor")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                    help="JAX-side platform (parsed pre-import at module "
                         "top; the torch oracle always runs native CPU)")
@@ -495,7 +501,7 @@ def main(argv=None):
     elif args.case == "cls_msg_sr":
         out = run_cls_msg(args.steps or 500)
     elif args.case == "pointnet_seg":
-        out = run_pointnet_seg(args.steps or 1200)
+        out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
