@@ -331,7 +331,7 @@ def run_cls_ssg(n_steps, sr=True):
     }
 
 
-def run_cls_msg(n_steps, sr=True):
+def run_cls_msg(n_steps, sr=True, jax_only=False):
     """PointNet++ MSG classification under the promoted precision config
     (--bf16 --bf16_sr, +precise-BN eval) vs the fp32 torch oracle
     (VERDICT r4 item 5b). MSG is the model with the MOST grouped-SR cast
@@ -360,9 +360,22 @@ def run_cls_msg(n_steps, sr=True):
     jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
                                "cls", 1e-3, 1e-4,
                                precise_bn_batches=8 if sr else 0)
+    jacc = float(np.mean(jp == eval_lbl))
+    if jax_only:
+        # Control-experiment mode: the torch oracle is fp32 and fully
+        # determined by (seed 3, same batch stream), so an sr=True run's
+        # torch numbers are reusable verbatim for an sr=False jax rerun —
+        # the torch side costs ~25-45 s/step on this box's one CPU core
+        # (~4 h/horizon) while the jax side on-chip takes minutes.
+        return {
+            "case": "pointnet2_cls_msg" + ("_bf16_sr" if sr else "_fp32")
+                    + "_jaxonly",
+            "steps": n_steps,
+            "jax_eval_acc": jacc,
+            "jax_final_train_loss": jloss,
+        }
     tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
                                  "cls", 1e-3, 1e-4, channels_first=False)
-    jacc = float(np.mean(jp == eval_lbl))
     tacc = float(np.mean(tp == eval_lbl))
     return {
         "case": "pointnet2_cls_msg" + ("_bf16_sr" if sr else ""),
@@ -478,10 +491,15 @@ def main(argv=None):
     p.add_argument(
         "--case",
         choices=["cls", "cls_hard", "cls_ssg_sr", "cls_msg_sr",
-                 "pointnet_seg", "semseg", "semseg_sr"],
+                 "cls_msg_fp32", "pointnet_seg", "semseg", "semseg_sr"],
         required=True,
     )
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--jax_only", action="store_true",
+                   help="cls_msg cases: skip the torch oracle and report "
+                        "only the jax metrics (the fp32 oracle is "
+                        "deterministic given the seed, so a prior run's "
+                        "torch numbers are reusable)")
     p.add_argument("--seed", type=int, default=0,
                    help="perturb init + batch order (pointnet_seg only): "
                         "both stacks re-run as an independent draw of the "
@@ -499,7 +517,10 @@ def main(argv=None):
     elif args.case == "cls_ssg_sr":
         out = run_cls_ssg(args.steps or 800)
     elif args.case == "cls_msg_sr":
-        out = run_cls_msg(args.steps or 500)
+        out = run_cls_msg(args.steps or 500, jax_only=args.jax_only)
+    elif args.case == "cls_msg_fp32":
+        out = run_cls_msg(args.steps or 500, sr=False,
+                          jax_only=args.jax_only)
     elif args.case == "pointnet_seg":
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     else:
