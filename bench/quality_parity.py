@@ -99,7 +99,12 @@ def _batches(dataset, batch_size, n_steps, seed=0):
 
 
 def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
-                   wd, precise_bn_batches=0):
+                   wd, precise_bn_batches=0, report_raw=False, rng_seed=0):
+    """report_raw: additionally return eval preds under the RAW EMA running
+    stats (diagnostic: separates a BN-statistics quality effect from a
+    trained-weights effect when precise_bn_batches > 0). rng_seed != 0
+    perturbs the dropout/SR rng stream (trajectory-noise measurement);
+    0 keeps the exact stream all recorded runs used."""
     params, bs = variables["params"], variables["batch_stats"]
     # lr_gamma=1.0: CONSTANT LR, matching the torch side's plain Adam.
     # make_optimizer's default is the reference StepLR recipe, and with
@@ -141,14 +146,38 @@ def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
     def optax_apply(p, u):
         return optax.apply_updates(p, u)
 
-    key = KEY
+    base_key = KEY if rng_seed == 0 else jax.random.fold_in(KEY, rng_seed)
     for i, (pts, lbl) in enumerate(batches):
-        key = jax.random.fold_in(KEY, i)
+        key = jax.random.fold_in(base_key, i)
         params, bs, opt, loss = step(
             params, bs, opt, key, jnp.asarray(pts), jnp.asarray(lbl)
         )
         if i % 50 == 0:
             print(f"  [jax] step {i} loss {float(loss):.4f}", flush=True)
+
+    # eval-mode forward (running BN stats, no dropout), batched
+    @jax.jit
+    def fwd(params, bs, pts):
+        logp, _ = model.apply(
+            {"params": params, "batch_stats": bs}, pts, train=False
+        )
+        return jnp.argmax(logp, axis=-1)
+
+    def run_eval(bs_eval):
+        preds = []
+        B = batches[0][0].shape[0]
+        for s in range(0, len(eval_pts), B):
+            chunk = eval_pts[s : s + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, 0)]
+                )
+            p = np.asarray(fwd(params, bs_eval, jnp.asarray(chunk)))
+            preds.append(p[: len(chunk) - pad] if pad else p)
+        return np.concatenate(preds)
+
+    raw_preds = run_eval(bs) if report_raw else None
     if precise_bn_batches:
         # bf16 configs eval with exact pooled statistics instead of the
         # lagging EMA (train/precise_bn.py; the documented --precise_bn
@@ -166,24 +195,12 @@ def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
             [{"points": p} for p, _ in batches[-precise_bn_batches:]],
             precise_bn_batches,
         )
-    # eval-mode forward (running BN stats, no dropout), batched
-    @jax.jit
-    def fwd(params, bs, pts):
-        logp, _ = model.apply(
-            {"params": params, "batch_stats": bs}, pts, train=False
-        )
-        return jnp.argmax(logp, axis=-1)
-
-    preds = []
-    B = batches[0][0].shape[0]
-    for s in range(0, len(eval_pts), B):
-        chunk = eval_pts[s : s + B]
-        pad = B - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        p = np.asarray(fwd(params, bs, jnp.asarray(chunk)))
-        preds.append(p[: len(chunk) - pad] if pad else p)
-    return np.concatenate(preds), float(loss)
+        preds = run_eval(bs)
+    else:
+        preds = raw_preds if raw_preds is not None else run_eval(bs)
+    if report_raw:
+        return preds, float(loss), raw_preds
+    return preds, float(loss)
 
 
 # ----------------------------------------------------------------- torch side
@@ -286,105 +303,120 @@ def run_cls(n_steps, hard=False):
     }
 
 
-def run_cls_ssg(n_steps, sr=True):
-    """PointNet++ SSG classification under the production precision config
-    (--bf16 --bf16_sr --precise_bn) vs the fp32 torch oracle — the
-    cls-side companion of the semseg_sr case. 24 classes at N=512 (the
-    cls models' minimum: SA1 samples 512 centers) keeps the task off the
-    100% ceiling."""
-    # Sizing note (measured): a first attempt at size=256/128 and 300 steps
-    # was NOT a plateau comparison — the torch side overfit the tiny train
-    # set (train loss 0.21 vs 0.42) while SR's quantization noise
-    # regularized the JAX side, landing jax 0.875 vs torch 0.727. Larger
-    # sets + longer horizon let both stacks reach a real plateau.
+# Precision-variant kwargs for the PointNet++ cls cases. "bf16_sr" is the
+# promoted flagship config (--bf16 --bf16_sr); the others exist to BISECT a
+# quality failure: "bf16" isolates plain round-to-nearest, "bf16g_sr"
+# isolates the grouped-stack casts (dtype stays fp32 outside the SA
+# grouped tensors), "fp32" is the no-cast control.
+_PRECISIONS = {
+    "fp32": {},
+    "bf16": {"dtype": jnp.bfloat16},
+    "bf16_sr": {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True},
+    "bf16g_sr": {"grouped_dtype": jnp.bfloat16, "grouped_sr": True},
+}
+
+
+def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
+                 data_seed=0):
+    """Shared runner for the PointNet++ classification quality cases.
+
+    24 classes at N=512 (the cls models' minimum: SA1 samples 512 centers)
+    keeps the task off the 100% ceiling. Sizing note (measured): a first
+    attempt at size=256/128 and 300 steps was NOT a plateau comparison —
+    the torch side overfit the tiny train set (train loss 0.21 vs 0.42)
+    while SR's quantization noise regularized the JAX side, landing jax
+    0.875 vs torch 0.727. Larger sets + longer horizon let both stacks
+    reach a real plateau.
+
+    jax_only: skip the torch oracle. It is fp32 and fully determined by
+    (torch_seed, the batch stream), so one full run's torch numbers are
+    reusable verbatim across jax-side precision variants — the oracle
+    costs ~25-45 s/step on this box's one CPU core (~4 h/horizon for MSG)
+    while the jax side on-chip takes minutes.
+
+    data_seed: perturb the batch ORDER and the jax dropout/SR rng stream
+    (init and data content unchanged) — an independent trajectory draw of
+    the same training process, for measuring the jax side's own
+    seed-to-seed spread without paying for a torch rerun.
+    """
     num_classes, N, B = 24, 512, 16
     train_ds = SyntheticModelNet("train", num_point=N,
                                  num_classes=num_classes, size=512)
     test_ds = SyntheticModelNet("test", num_point=N,
                                 num_classes=num_classes, size=256)
-    batches = _batches(train_ds, B, n_steps)
+    batches = _batches(train_ds, B, n_steps, seed=data_seed)
     eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
     eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
 
-    torch.manual_seed(2)
-    tmodel = models_torch.PointNet2ClsSsg(num_classes=num_classes)
-    variables = CONVERTERS["pointnet2_cls_ssg"](_state_dict_np(tmodel))
-    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
-    model = get_model(
-        "pointnet2_cls_ssg", num_classes=num_classes, impl=_IMPL, **kw
+    torch.manual_seed(torch_seed)
+    tcls = (models_torch.PointNet2ClsMsg if model_name == "pointnet2_cls_msg"
+            else models_torch.PointNet2ClsSsg)
+    tmodel = tcls(num_classes=num_classes)
+    variables = CONVERTERS[model_name](_state_dict_np(tmodel))
+    kw = _PRECISIONS[precision]
+    model = get_model(model_name, num_classes=num_classes, impl=_IMPL, **kw)
+
+    # precise-BN stats are always recomputed so every run reports BOTH eval
+    # accs (EMA running stats vs exact pooled stats) — the pair separates
+    # "BN statistics quality" from "trained weights quality" for free. The
+    # headline jax_eval_acc stays config-appropriate: pbn for the bf16
+    # variants (the documented --precise_bn pairing), raw EMA for fp32
+    # (the CLI default), identical to what earlier recorded runs reported.
+    jp, jloss, jp_raw = train_eval_jax(
+        model, variables, batches, eval_pts, eval_lbl, "cls", 1e-3, 1e-4,
+        precise_bn_batches=8, report_raw=True, rng_seed=data_seed,
     )
-
-    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
-                               "cls", 1e-3, 1e-4,
-                               precise_bn_batches=8 if sr else 0)
-    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
-                                 "cls", 1e-3, 1e-4, channels_first=False)
-    jacc = float(np.mean(jp == eval_lbl))
-    tacc = float(np.mean(tp == eval_lbl))
-    return {
-        "case": "pointnet2_cls_ssg" + ("_bf16_sr" if sr else ""),
-        "steps": n_steps,
-        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
-        "delta": abs(jacc - tacc),
-        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
-        "within_target": abs(jacc - tacc) <= 0.005,
-    }
-
-
-def run_cls_msg(n_steps, sr=True, jax_only=False):
-    """PointNet++ MSG classification under the promoted precision config
-    (--bf16 --bf16_sr, +precise-BN eval) vs the fp32 torch oracle
-    (VERDICT r4 item 5b). MSG is the model with the MOST grouped-SR cast
-    sites (3 radius branches per SA level x 2 MSG levels), so the promoted
-    config's quality claim cannot be transferred from the SSG case — it
-    has to be measured on this topology. N=512 is the model's minimum
-    (SA1 samples 512 centers); 24 classes keeps the synthetic task off
-    the 100% ceiling (same sizing rationale as run_cls_ssg)."""
-    num_classes, N, B = 24, 512, 16
-    train_ds = SyntheticModelNet("train", num_point=N,
-                                 num_classes=num_classes, size=512)
-    test_ds = SyntheticModelNet("test", num_point=N,
-                                num_classes=num_classes, size=256)
-    batches = _batches(train_ds, B, n_steps)
-    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
-    eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
-
-    torch.manual_seed(3)
-    tmodel = models_torch.PointNet2ClsMsg(num_classes=num_classes)
-    variables = CONVERTERS["pointnet2_cls_msg"](_state_dict_np(tmodel))
-    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
-    model = get_model(
-        "pointnet2_cls_msg", num_classes=num_classes, impl=_IMPL, **kw
-    )
-
-    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
-                               "cls", 1e-3, 1e-4,
-                               precise_bn_batches=8 if sr else 0)
-    jacc = float(np.mean(jp == eval_lbl))
+    jacc_pbn = float(np.mean(jp == eval_lbl))
+    jacc_raw = float(np.mean(jp_raw == eval_lbl))
+    jacc = jacc_raw if precision == "fp32" else jacc_pbn
+    case = model_name + "_" + precision
+    if data_seed:
+        case += f"_ds{data_seed}"
     if jax_only:
-        # Control-experiment mode: the torch oracle is fp32 and fully
-        # determined by (seed 3, same batch stream), so an sr=True run's
-        # torch numbers are reusable verbatim for an sr=False jax rerun —
-        # the torch side costs ~25-45 s/step on this box's one CPU core
-        # (~4 h/horizon) while the jax side on-chip takes minutes.
         return {
-            "case": "pointnet2_cls_msg" + ("_bf16_sr" if sr else "_fp32")
-                    + "_jaxonly",
+            "case": case + "_jaxonly",
             "steps": n_steps,
             "jax_eval_acc": jacc,
+            "jax_eval_acc_ema": jacc_raw,
+            "jax_eval_acc_pbn": jacc_pbn,
             "jax_final_train_loss": jloss,
         }
     tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
                                  "cls", 1e-3, 1e-4, channels_first=False)
     tacc = float(np.mean(tp == eval_lbl))
     return {
-        "case": "pointnet2_cls_msg" + ("_bf16_sr" if sr else ""),
+        "case": case,
         "steps": n_steps,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "jax_eval_acc_ema": jacc_raw, "jax_eval_acc_pbn": jacc_pbn,
         "delta": abs(jacc - tacc),
         "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
         "within_target": abs(jacc - tacc) <= 0.005,
     }
+
+
+def run_cls_ssg(n_steps, sr=True, jax_only=False, precision=None,
+                data_seed=0):
+    """PointNet++ SSG classification under the production precision config
+    (--bf16 --bf16_sr --precise_bn) vs the fp32 torch oracle — the
+    cls-side companion of the semseg_sr case."""
+    return _run_pn2_cls("pointnet2_cls_ssg", 2, n_steps,
+                        precision or ("bf16_sr" if sr else "fp32"),
+                        jax_only, data_seed)
+
+
+def run_cls_msg(n_steps, sr=True, jax_only=False, precision=None,
+                data_seed=0):
+    """PointNet++ MSG classification under the promoted precision config
+    (--bf16 --bf16_sr, +precise-BN eval) vs the fp32 torch oracle
+    (VERDICT r4 item 5b). MSG is the model with the MOST grouped-SR cast
+    sites (3 radius branches per SA level x 2 MSG levels), so the promoted
+    config's quality claim cannot be transferred from the SSG case — it
+    has to be measured on this topology. N=512 is the model's minimum
+    (SA1 samples 512 centers)."""
+    return _run_pn2_cls("pointnet2_cls_msg", 3, n_steps,
+                        precision or ("bf16_sr" if sr else "fp32"),
+                        jax_only, data_seed)
 
 
 def run_pointnet_seg(n_steps, seed=0):
@@ -496,10 +528,18 @@ def main(argv=None):
     )
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--jax_only", action="store_true",
-                   help="cls_msg cases: skip the torch oracle and report "
-                        "only the jax metrics (the fp32 oracle is "
+                   help="cls_ssg/cls_msg cases: skip the torch oracle and "
+                        "report only the jax metrics (the fp32 oracle is "
                         "deterministic given the seed, so a prior run's "
                         "torch numbers are reusable)")
+    p.add_argument("--precision", choices=sorted(_PRECISIONS),
+                   default=None,
+                   help="cls_ssg/cls_msg cases: override the case's default "
+                        "precision config (bisect knob; see _PRECISIONS)")
+    p.add_argument("--data_seed", type=int, default=0,
+                   help="cls_ssg/cls_msg cases: perturb batch order + jax "
+                        "rng stream — an independent trajectory draw for "
+                        "noise-floor measurement (pair with --jax_only)")
     p.add_argument("--seed", type=int, default=0,
                    help="perturb init + batch order (pointnet_seg only): "
                         "both stacks re-run as an independent draw of the "
@@ -515,12 +555,18 @@ def main(argv=None):
     elif args.case == "cls_hard":
         out = run_cls(args.steps or 2000, hard=True)
     elif args.case == "cls_ssg_sr":
-        out = run_cls_ssg(args.steps or 800)
+        out = run_cls_ssg(args.steps or 800, jax_only=args.jax_only,
+                          precision=args.precision,
+                          data_seed=args.data_seed)
     elif args.case == "cls_msg_sr":
-        out = run_cls_msg(args.steps or 500, jax_only=args.jax_only)
+        out = run_cls_msg(args.steps or 500, jax_only=args.jax_only,
+                          precision=args.precision,
+                          data_seed=args.data_seed)
     elif args.case == "cls_msg_fp32":
         out = run_cls_msg(args.steps or 500, sr=False,
-                          jax_only=args.jax_only)
+                          jax_only=args.jax_only,
+                          precision=args.precision,
+                          data_seed=args.data_seed)
     elif args.case == "pointnet_seg":
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     else:
