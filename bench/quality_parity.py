@@ -313,6 +313,10 @@ _PRECISIONS = {
     "bf16": {"dtype": jnp.bfloat16},
     "bf16_sr": {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True},
     "bf16g_sr": {"grouped_dtype": jnp.bfloat16, "grouped_sr": True},
+    # bf16 OUTSIDE the grouped stacks only (group-all SharedMLP + the
+    # inter-SA output casts run bf16; the grouped (B,S,K,C) stacks are
+    # pinned fp32) — the complement of bf16g_sr, for locating a failure.
+    "bf16ng": {"dtype": jnp.bfloat16, "grouped_dtype": jnp.float32},
 }
 
 
