@@ -81,7 +81,8 @@ class PointNet2ClsSSG(nn.Module):
             grouped_dtype=self.grouped_dtype, grouped_sr=self.grouped_sr, name="sa2"
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
-            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
+            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype,
+            grouped_sr=self.grouped_sr, name="sa3"
         )(xyz, feats, train=train)
         logp = _ClsHead(self.num_classes, name="head")(
             feats[:, 0].astype(jnp.float32), train=train
@@ -132,7 +133,8 @@ class PointNet2ClsMSG(nn.Module):
             name="sa2",
         )(xyz, feats, train=train, fps_key=_subkey(fps_key, 2))
         _, feats = SetAbstraction(
-            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype, name="sa3"
+            mlp=[256, 512, 1024], group_all=True, dtype=self.dtype,
+            grouped_sr=self.grouped_sr, name="sa3"
         )(xyz, feats, train=train)
         logp = _ClsHead(self.num_classes, name="head")(
             feats[:, 0].astype(jnp.float32), train=train

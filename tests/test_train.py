@@ -411,3 +411,46 @@ def test_bf16_grouped_sr_trains_and_eval_deterministic():
     e1, _ = model.apply(variables, pts, train=False)
     e2, _ = model.apply(variables, pts, train=False)
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_cls_group_all_sa3_cast_is_stochastic_under_promoted_config():
+    """Round-4 regression: the cls models never plumbed ``grouped_sr`` into
+    their group-all SA3, so under the promoted --bf16 --bf16_sr config
+    SA3's bf16 casts were silently round-to-nearest — and the TPU quality
+    probes showed full-bf16 cls training collapsing (MSG eval 0.359 vs
+    torch 0.973) while the all-SR'd grouped-only config passed (0.996).
+
+    Isolation trick: pin the grouped stacks fp32 (``grouped_dtype``) so
+    they are deterministic; then SA3's SharedMLP is the ONLY train-time SR
+    site upstream of the captured intermediate, and its output must differ
+    across dropout-rng seeds iff SR is actually wired through."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointnet12_tpu.models import get_model
+
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 512, 3))
+
+    def sa3_out(grouped_sr, seed):
+        model = get_model(
+            "pointnet2_cls_ssg", num_classes=8, impl="jnp",
+            dtype=jnp.bfloat16, grouped_dtype=jnp.float32,
+            sr=True, grouped_sr=grouped_sr,
+        )
+        variables = model.init(jax.random.PRNGKey(1), pts)
+        _, mut = model.apply(
+            variables, pts, train=True,
+            mutable=["batch_stats", "intermediates"],
+            capture_intermediates=lambda m, _: m.name == "sa3",
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+        )
+        return np.asarray(
+            mut["intermediates"]["sa3"]["__call__"][0][1], np.float32
+        )
+
+    a, b = sa3_out(True, 2), sa3_out(True, 3)
+    assert not np.array_equal(a, b), "sa3 casts are not stochastically rounded"
+    # control: without grouped_sr the sa3 output is seed-independent RTN
+    c, d = sa3_out(False, 2), sa3_out(False, 3)
+    np.testing.assert_array_equal(c, d)
