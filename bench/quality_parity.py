@@ -269,10 +269,23 @@ def miou_of(preds, labels, num_classes):
     return float(np.mean(ious))
 
 
-def run_cls(n_steps, hard=False):
+# PointNet-1 precision variants (no grouped stacks to scope to — plain
+# dtype/sr only; see cli/common.py::model_precision_kwargs).
+_PN1_PRECISIONS = {
+    "fp32": {},
+    "bf16": {"dtype": jnp.bfloat16},
+    "bf16_sr": {"dtype": jnp.bfloat16, "sr": True},
+}
+
+
+def run_cls(n_steps, hard=False, precision="fp32", jax_only=False):
     """``hard=True``: 24 classes at N=96 points — the task stops saturating
     (plateau ~0.9), so a real quality gap between the stacks would be
-    visible in the final accuracy rather than hidden at 100%."""
+    visible in the final accuracy rather than hidden at 100%.
+
+    precision/jax_only: PointNet-1 precision probes (the fp32 torch oracle
+    is deterministic given the fixed seeds, so the recorded fp32 run's
+    torch numbers are reusable for jax-only bf16 variants)."""
     num_classes, N, B = (24, 96, 24) if hard else (8, 256, 24)
     train_ds = SyntheticModelNet("train", num_point=N,
                                  num_classes=num_classes, size=512)
@@ -285,16 +298,29 @@ def run_cls(n_steps, hard=False):
     torch.manual_seed(0)
     tmodel = models_torch.PointNetCls(num_classes=num_classes)
     variables = CONVERTERS["pointnet_cls"](_state_dict_np(tmodel))
-    model = get_model("pointnet_cls", num_classes=num_classes)
+    model = get_model("pointnet_cls", num_classes=num_classes,
+                      **_PN1_PRECISIONS[precision])
 
-    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
-                               "cls", 1e-3, 1e-4)
+    jp, jloss = train_eval_jax(
+        model, variables, batches, eval_pts, eval_lbl, "cls", 1e-3, 1e-4,
+        precise_bn_batches=0 if precision == "fp32" else 8,
+    )
+    jacc = float(np.mean(jp == eval_lbl))
+    case = "pointnet_cls_hard" if hard else "pointnet_cls"
+    if precision != "fp32":
+        case += "_" + precision
+    if jax_only:
+        return {
+            "case": case + "_jaxonly",
+            "steps": n_steps,
+            "jax_eval_acc": jacc,
+            "jax_final_train_loss": jloss,
+        }
     tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
                                  "cls", 1e-3, 1e-4, channels_first=True)
-    jacc = float(np.mean(jp == eval_lbl))
     tacc = float(np.mean(tp == eval_lbl))
     return {
-        "case": "pointnet_cls_hard" if hard else "pointnet_cls",
+        "case": case,
         "steps": n_steps,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
         "delta": abs(jacc - tacc),
@@ -555,9 +581,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     torch.set_num_threads(1)  # 1-core box; avoid thrash with the jax run
     if args.case == "cls":
-        out = run_cls(args.steps or 1500)
+        out = run_cls(args.steps or 1500,
+                      precision=args.precision or "fp32",
+                      jax_only=args.jax_only)
     elif args.case == "cls_hard":
-        out = run_cls(args.steps or 2000, hard=True)
+        out = run_cls(args.steps or 2000, hard=True,
+                      precision=args.precision or "fp32",
+                      jax_only=args.jax_only)
     elif args.case == "cls_ssg_sr":
         out = run_cls_ssg(args.steps or 800, jax_only=args.jax_only,
                           precision=args.precision,
