@@ -7,8 +7,8 @@ plus two reduce reads (sum g, sum g*xhat) in backward. Candidate from the
 verdict: compute the sums as MXU ones-vector contractions on the bf16
 tensor with f32 accumulation instead of the VPU convert_reduce.
 
-This micro times, on the REAL flagship BN shapes (all 17 BN inputs of
-pointnet2_semseg at B=16, N=4096):
+This micro times, on the REAL flagship BN shapes (all 22 train-mode BN
+inputs of pointnet2_semseg at B=16, N=4096):
 
   a) xla_reduce  — jitted (mean, mean(x^2)) exactly as flax BN computes
   b) mxu_ones    — dot_general(ones, x) f32-accum for the sum; the square

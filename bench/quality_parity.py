@@ -37,10 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # (round 4), i.e. ~17 h for the 500-step horizon, while the chip does the
 # same step in ~10 ms. TPU is also the more faithful platform for the
 # promoted bf16+SR config claims (it is where that config actually runs).
-_PLATFORM = "tpu" if "tpu" in [
-    a.split("=")[-1] for a in sys.argv if a.startswith("--platform")
-] or (len(sys.argv) > 2 and "--platform" in sys.argv
-      and sys.argv[sys.argv.index("--platform") + 1] == "tpu") else "cpu"
+# Pre-import hand-parse (argparse runs after the jax import, too late to
+# pick the platform). Guarded against --platform being the last token;
+# note main(argv) cannot select the platform — only real sys.argv can.
+def _platform_from_argv() -> str:
+    for i, a in enumerate(sys.argv):
+        if a.startswith("--platform="):
+            return a.split("=", 1)[1]
+        if a == "--platform" and i + 1 < len(sys.argv):
+            return sys.argv[i + 1]
+    return "cpu"
+
+
+_PLATFORM = "tpu" if _platform_from_argv() == "tpu" else "cpu"
 if _PLATFORM == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"  # axon sitecustomize pins TPU
 

@@ -46,7 +46,10 @@ def _three_nn_kernel(q_ref, p_ref, dist_ref, idx_ref, *, tile_n, mxu):
                 preferred_element_type=jnp.float32,
             )  # (TN, M)
             qn = jnp.sum(qt * qt, axis=0).reshape(tile_n, 1)
-            d2 = (qn + pn) - 2.0 * qp
+            # expansion form can go slightly negative at fp roundoff
+            # (direct form is non-negative by construction); clamp so the
+            # d2 >= 0 contract holds for inverse-distance weights.
+            d2 = jnp.maximum((qn + pn) - 2.0 * qp, 0.0)
         else:
             qx = qt[0:1, :].reshape(tile_n, 1)
             qy = qt[1:2, :].reshape(tile_n, 1)

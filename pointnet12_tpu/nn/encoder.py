@@ -38,6 +38,12 @@ def _dense_bn(mod, x, width, name, train, dtype=jnp.float32, sr=False):
         return _folded_dense_bn(
             x, dense, MomentBN(name=f"{name}_bn"), False, dtype
         )
+    # SR the input downcast too: nn.Dense(dtype=bf16) would otherwise
+    # round-to-nearest fp32 inputs implicitly (conv1's TNet-transformed
+    # xyz, conv2's post-fstn fp32 promotion) — exactly the un-SR'd cast
+    # class that collapsed PointNet++ cls training in round 4
+    # (docs/QUALITY_PARITY.md bisect). Exact no-op on already-bf16 x.
+    x = _activation_cast(mod, x, dtype, sr, train)
     x = dense(x)
     # BN compute pinned fp32 (bf16 BN corrupts running stats, nn/mlp.py);
     # recast after — stochastic in train when sr (unbiased quantization).

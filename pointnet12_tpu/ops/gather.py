@@ -26,11 +26,11 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     2.7 ms for 512K rows), whose per-batch-dim descriptors XLA handles
     poorly. Out-of-range indices clamp (same as take_along_axis on TPU).
 
-    ``mode="promise_in_bounds"`` matters: ``jnp.take``'s default
-    ``mode="fill"`` lowers to gather + an oob-predicate broadcast-select
-    over the full gathered tensor — 0.47 ms/step of pure waste at the
-    flagship shape (profiled round 3; the predicate is always true here
-    because indices are clamped explicitly below).
+    ``mode="clip"`` matters: ``jnp.take``'s default ``mode="fill"``
+    lowers to gather + an oob-predicate broadcast-select over the full
+    gathered tensor — 0.47 ms/step of pure waste at the flagship shape
+    (profiled round 3; clip lowers to the plain clamped gather, and the
+    indices are already clamped explicitly below).
     """
     B, N, C = points.shape
     flat_idx = idx.reshape(B, -1).astype(jnp.int32)  # (B, prod(S))

@@ -454,3 +454,43 @@ def test_cls_group_all_sa3_cast_is_stochastic_under_promoted_config():
     # control: without grouped_sr the sa3 output is seed-independent RTN
     c, d = sa3_out(False, 2), sa3_out(False, 3)
     np.testing.assert_array_equal(c, d)
+
+
+def test_encoder_dense_input_cast_is_stochastic_under_promoted_config():
+    """Round-5 regression (ADVICE r4): under --bf16 --bf16_sr the encoder's
+    ``_dense_bn`` layers received fp32 inputs (conv1: TNet-transformed xyz;
+    conv2 with --feature_transform: the fp32 post-fstn promotion) that
+    ``nn.Dense(dtype=bf16)`` downcast implicitly via round-to-nearest —
+    the exact un-SR'd cast class behind the round-4 SA3 collapse.
+
+    Isolation trick: disable the input transform so conv1's input is the
+    raw fp32 points (no stochastic site upstream); capture conv1's Dense
+    output — it must differ across dropout-rng seeds iff the input
+    downcast is stochastically rounded."""
+    from pointnet12_tpu.nn.encoder import PointNetEncoder
+
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (2, 256, 3))
+
+    def conv1_out(sr, seed):
+        model = PointNetEncoder(
+            global_feat=True, input_transform=False,
+            dtype=jnp.bfloat16, sr=sr,
+        )
+        variables = model.init(jax.random.PRNGKey(1), pts)
+        _, mut = model.apply(
+            variables, pts, train=True,
+            mutable=["batch_stats", "intermediates"],
+            capture_intermediates=lambda m, _: m.name == "conv1",
+            rngs={"dropout": jax.random.PRNGKey(seed)},
+        )
+        return np.asarray(
+            mut["intermediates"]["conv1"]["__call__"][0], np.float32
+        )
+
+    a, b = conv1_out(True, 2), conv1_out(True, 3)
+    assert not np.array_equal(a, b), (
+        "encoder _dense_bn input casts are not stochastically rounded"
+    )
+    # control: without sr the conv1 output is seed-independent RTN
+    c, d = conv1_out(False, 2), conv1_out(False, 3)
+    np.testing.assert_array_equal(c, d)
