@@ -255,7 +255,10 @@ def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
     tmodel.eval()
     preds = []
     with torch.no_grad():
-        B = batches[0][0].shape[0]
+        # eval-mode BN/dropout are per-sample deterministic, so the chunk
+        # size is free — 64 amortizes the op overheads on the 2048-sample
+        # round-5 eval sets (vs chunking by the train batch).
+        B = max(batches[0][0].shape[0], 64)
         for s in range(0, len(eval_pts), B):
             chunk = torch.from_numpy(eval_pts[s : s + B])
             if channels_first:
@@ -356,7 +359,8 @@ _PRECISIONS = {
 
 
 def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
-                 data_seed=0):
+                 data_seed=0, eval_size=256, seed=0, torch_only=False,
+                 batch=16):
     """Shared runner for the PointNet++ classification quality cases.
 
     24 classes at N=512 (the cls models' minimum: SA1 samples 512 centers)
@@ -367,30 +371,55 @@ def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
     0.875 vs torch 0.727. Larger sets + longer horizon let both stacks
     reach a real plateau.
 
-    jax_only: skip the torch oracle. It is fp32 and fully determined by
-    (torch_seed, the batch stream), so one full run's torch numbers are
-    reusable verbatim across jax-side precision variants — the oracle
-    costs ~25-45 s/step on this box's one CPU core (~4 h/horizon for MSG)
-    while the jax side on-chip takes minutes.
+    jax_only / torch_only: run one side only. The fp32 torch oracle is
+    fully determined by (torch_seed+seed, the batch stream) — one torch
+    run's numbers pair with every jax-side precision variant at the same
+    seed. torch_only exists so the CPU-bound oracle runs (the multi-seed
+    protocol's long pole, VERDICT r5 item 1) can be farmed out to
+    background processes while the jax draws run on the chip.
 
     data_seed: perturb the batch ORDER and the jax dropout/SR rng stream
     (init and data content unchanged) — an independent trajectory draw of
     the same training process, for measuring the jax side's own
     seed-to-seed spread without paying for a torch rerun.
+
+    seed: a FULL independent draw of the comparison — perturbs the torch
+    init (torch_seed+seed) and the batch order + jax rng stream together.
+    The round-5 multi-seed protocol runs seeds {0,1,2} per side and
+    reports mean ± spread (docs/QUALITY_PARITY.md).
+
+    eval_size: eval-set size. The round-4 runs used 256 (binomial 1-sigma
+    ~1.3% at p~0.95 — too coarse for the 0.5% bar); the round-5 protocol
+    uses 2048 (1-sigma <= 0.45%).
     """
-    num_classes, N, B = 24, 512, 16
+    num_classes, N, B = 24, 512, batch
     train_ds = SyntheticModelNet("train", num_point=N,
                                  num_classes=num_classes, size=512)
     test_ds = SyntheticModelNet("test", num_point=N,
-                                num_classes=num_classes, size=256)
-    batches = _batches(train_ds, B, n_steps, seed=data_seed)
+                                num_classes=num_classes, size=eval_size)
+    order_seed = data_seed if data_seed else seed
+    batches = _batches(train_ds, B, n_steps, seed=order_seed)
     eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
     eval_lbl = np.asarray([int(test_ds[i][1]) for i in range(len(test_ds))])
 
-    torch.manual_seed(torch_seed)
+    torch.manual_seed(torch_seed + seed)
     tcls = (models_torch.PointNet2ClsMsg if model_name == "pointnet2_cls_msg"
             else models_torch.PointNet2ClsSsg)
     tmodel = tcls(num_classes=num_classes)
+    case = model_name + "_" + precision
+    if data_seed:
+        case += f"_ds{data_seed}"
+    if seed:
+        case += f"_s{seed}"
+    if torch_only:
+        tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                     "cls", 1e-3, 1e-4, channels_first=False)
+        return {
+            "case": model_name + f"_torch_s{seed}",
+            "steps": n_steps, "eval_size": eval_size,
+            "torch_eval_acc": float(np.mean(tp == eval_lbl)),
+            "torch_final_train_loss": tloss,
+        }
     variables = CONVERTERS[model_name](_state_dict_np(tmodel))
     kw = _PRECISIONS[precision]
     model = get_model(model_name, num_classes=num_classes, impl=_IMPL, **kw)
@@ -403,18 +432,16 @@ def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
     # (the CLI default), identical to what earlier recorded runs reported.
     jp, jloss, jp_raw = train_eval_jax(
         model, variables, batches, eval_pts, eval_lbl, "cls", 1e-3, 1e-4,
-        precise_bn_batches=8, report_raw=True, rng_seed=data_seed,
+        precise_bn_batches=8, report_raw=True,
+        rng_seed=order_seed,
     )
     jacc_pbn = float(np.mean(jp == eval_lbl))
     jacc_raw = float(np.mean(jp_raw == eval_lbl))
     jacc = jacc_raw if precision == "fp32" else jacc_pbn
-    case = model_name + "_" + precision
-    if data_seed:
-        case += f"_ds{data_seed}"
     if jax_only:
         return {
             "case": case + "_jaxonly",
-            "steps": n_steps,
+            "steps": n_steps, "eval_size": eval_size,
             "jax_eval_acc": jacc,
             "jax_eval_acc_ema": jacc_raw,
             "jax_eval_acc_pbn": jacc_pbn,
@@ -425,7 +452,7 @@ def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
     tacc = float(np.mean(tp == eval_lbl))
     return {
         "case": case,
-        "steps": n_steps,
+        "steps": n_steps, "eval_size": eval_size,
         "jax_eval_acc": jacc, "torch_eval_acc": tacc,
         "jax_eval_acc_ema": jacc_raw, "jax_eval_acc_pbn": jacc_pbn,
         "delta": abs(jacc - tacc),
@@ -435,17 +462,20 @@ def _run_pn2_cls(model_name, torch_seed, n_steps, precision, jax_only=False,
 
 
 def run_cls_ssg(n_steps, sr=True, jax_only=False, precision=None,
-                data_seed=0):
+                data_seed=0, eval_size=256, seed=0, torch_only=False,
+                batch=16):
     """PointNet++ SSG classification under the production precision config
     (--bf16 --bf16_sr --precise_bn) vs the fp32 torch oracle — the
     cls-side companion of the semseg_sr case."""
     return _run_pn2_cls("pointnet2_cls_ssg", 2, n_steps,
                         precision or ("bf16_sr" if sr else "fp32"),
-                        jax_only, data_seed)
+                        jax_only, data_seed, eval_size, seed, torch_only,
+                        batch)
 
 
 def run_cls_msg(n_steps, sr=True, jax_only=False, precision=None,
-                data_seed=0):
+                data_seed=0, eval_size=256, seed=0, torch_only=False,
+                batch=16):
     """PointNet++ MSG classification under the promoted precision config
     (--bf16 --bf16_sr, +precise-BN eval) vs the fp32 torch oracle
     (VERDICT r4 item 5b). MSG is the model with the MOST grouped-SR cast
@@ -455,7 +485,8 @@ def run_cls_msg(n_steps, sr=True, jax_only=False, precision=None,
     (SA1 samples 512 centers)."""
     return _run_pn2_cls("pointnet2_cls_msg", 3, n_steps,
                         precision or ("bf16_sr" if sr else "fp32"),
-                        jax_only, data_seed)
+                        jax_only, data_seed, eval_size, seed, torch_only,
+                        batch)
 
 
 def run_pointnet_seg(n_steps, seed=0):
@@ -580,10 +611,20 @@ def main(argv=None):
                         "rng stream — an independent trajectory draw for "
                         "noise-floor measurement (pair with --jax_only)")
     p.add_argument("--seed", type=int, default=0,
-                   help="perturb init + batch order (pointnet_seg only): "
-                        "both stacks re-run as an independent draw of the "
-                        "same training process — used to measure the "
-                        "comparison's seed-to-seed noise floor")
+                   help="perturb init + batch order: both stacks re-run as "
+                        "an independent draw of the same training process "
+                        "(pointnet_seg and, round 5, the cls_ssg/cls_msg "
+                        "multi-seed protocol)")
+    p.add_argument("--torch_only", action="store_true",
+                   help="cls_ssg/cls_msg cases: run ONLY the torch oracle "
+                        "(for farming the CPU-bound side out to background "
+                        "processes; pair with a --jax_only run at the same "
+                        "--seed/--steps/--eval_size/--batch)")
+    p.add_argument("--eval_size", type=int, default=256,
+                   help="cls_ssg/cls_msg eval-set size (round-5 protocol "
+                        "uses 2048: binomial 1-sigma <= 0.45%%)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="cls_ssg/cls_msg train batch size (both stacks)")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                    help="JAX-side platform (parsed pre-import at module "
                         "top; the torch oracle always runs native CPU)")
@@ -600,16 +641,22 @@ def main(argv=None):
     elif args.case == "cls_ssg_sr":
         out = run_cls_ssg(args.steps or 800, jax_only=args.jax_only,
                           precision=args.precision,
-                          data_seed=args.data_seed)
+                          data_seed=args.data_seed,
+                          eval_size=args.eval_size, seed=args.seed,
+                          torch_only=args.torch_only, batch=args.batch)
     elif args.case == "cls_msg_sr":
         out = run_cls_msg(args.steps or 500, jax_only=args.jax_only,
                           precision=args.precision,
-                          data_seed=args.data_seed)
+                          data_seed=args.data_seed,
+                          eval_size=args.eval_size, seed=args.seed,
+                          torch_only=args.torch_only, batch=args.batch)
     elif args.case == "cls_msg_fp32":
         out = run_cls_msg(args.steps or 500, sr=False,
                           jax_only=args.jax_only,
                           precision=args.precision,
-                          data_seed=args.data_seed)
+                          data_seed=args.data_seed,
+                          eval_size=args.eval_size, seed=args.seed,
+                          torch_only=args.torch_only, batch=args.batch)
     elif args.case == "pointnet_seg":
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     else:

@@ -18,6 +18,51 @@ from tests.torch_ref.ops_torch import (
     square_distance,
 )
 
+# Execute the SA/FP conv stacks channels-last via matmul + functional BN
+# instead of permute + Conv2d/Conv1d + BatchNorm2d/1d. Same modules, same
+# parameters, same statistics semantics (F.batch_norm normalizes with the
+# biased batch variance and EMA-updates running_var with the unbiased
+# estimate, exactly as nn.BatchNorm does) — only the fp32 accumulation
+# order differs (roundoff-level; the quality probes are statistical at
+# plateau). Measured ~1.9x on the 1-core oracle box, where the multi-seed
+# quality_parity runs are CPU-bound (VERDICT r4 item 1). Equivalence is
+# pinned by tests/test_torch_ref_fast.py; set False to get the naive
+# reference execution path.
+FAST_MLP = True
+
+
+class _FastReLU(torch.autograd.Function):
+    """ReLU with a mask-multiply backward: torch's threshold_backward is
+    ~1.4x slower than grad*(x>0) on the big single-core tensors here.
+    Values and gradient (zero at x==0) identical to F.relu."""
+
+    @staticmethod
+    def forward(ctx, inp):
+        ctx.save_for_backward(inp > 0)
+        return torch.clamp_min(inp, 0)
+
+    @staticmethod
+    def backward(ctx, grad_out):
+        (mask,) = ctx.saved_tensors
+        return grad_out * mask
+
+
+def _mlp_channels_last(x, convs, bns, training):
+    """(B, *, C) -> (B, *, C') through a Conv(1x1)+BN+ReLU stack."""
+    shape = x.shape
+    x = x.reshape(-1, shape[-1])
+    for conv, bn in zip(convs, bns):
+        # F.linear == addmm (fused bias) — measured faster than mm + add
+        x = F.linear(x, conv.weight.view(conv.out_channels, -1), conv.bias)
+        x = F.batch_norm(
+            x, bn.running_mean, bn.running_var, bn.weight, bn.bias,
+            training, bn.momentum, bn.eps,
+        )
+        x = _FastReLU.apply(x)
+        if training and bn.track_running_stats:
+            bn.num_batches_tracked += 1
+    return x.view(*shape[:-1], x.shape[-1])
+
 
 class STNkd(nn.Module):
     def __init__(self, k=3):
@@ -156,6 +201,11 @@ class SetAbstraction(nn.Module):
                 grouped = torch.cat(
                     [grouped, index_points(points, idx)], dim=-1
                 )
+        if FAST_MLP:
+            x = _mlp_channels_last(
+                grouped, self.mlp_convs, self.mlp_bns, self.training
+            )
+            return new_xyz, torch.max(x, 2)[0]  # (B, S, C')
         x = grouped.permute(0, 3, 2, 1)  # (B, C, K, S)
         for conv, bn in zip(self.mlp_convs, self.mlp_bns):
             x = F.relu(bn(conv(x)))
@@ -190,6 +240,10 @@ class FeaturePropagation(nn.Module):
                 index_points(points2, idx) * w.unsqueeze(-1), dim=2
             )
         x = torch.cat([points1, interp], dim=-1) if points1 is not None else interp
+        if FAST_MLP:
+            return _mlp_channels_last(
+                x, self.mlp_convs, self.mlp_bns, self.training
+            )
         x = x.permute(0, 2, 1)
         for conv, bn in zip(self.mlp_convs, self.mlp_bns):
             x = F.relu(bn(conv(x)))
@@ -225,10 +279,17 @@ class SetAbstractionMsg(nn.Module):
             grouped = index_points(xyz, idx) - new_xyz.unsqueeze(2)
             if points is not None:
                 grouped = torch.cat([grouped, index_points(points, idx)], -1)
-            x = grouped.permute(0, 3, 2, 1)
-            for conv, bn in zip(self.conv_blocks[i], self.bn_blocks[i]):
-                x = F.relu(bn(conv(x)))
-            outs.append(torch.max(x, 2)[0])
+            if FAST_MLP:
+                x = _mlp_channels_last(
+                    grouped, self.conv_blocks[i], self.bn_blocks[i],
+                    self.training,
+                )
+                outs.append(torch.max(x, 2)[0].permute(0, 2, 1))
+            else:
+                x = grouped.permute(0, 3, 2, 1)
+                for conv, bn in zip(self.conv_blocks[i], self.bn_blocks[i]):
+                    x = F.relu(bn(conv(x)))
+                outs.append(torch.max(x, 2)[0])
         return new_xyz, torch.cat(outs, dim=1).permute(0, 2, 1)
 
 
