@@ -43,18 +43,23 @@ def main(argv=None):
     p.add_argument("--config", choices=sorted(CONFIG_FLAGS), required=True)
     p.add_argument("--epoch", type=int, default=40)
     p.add_argument("--log_dir", default=None)
+    p.add_argument("--seed", type=int, default=0,
+                   help="init + dropout/SR/FPS rng stream seed — an "
+                        "independent draw of the same training process "
+                        "(round-5 protocol: seeds {0,1,2} per config, "
+                        "mean ± spread in docs/QUALITY_PARITY.md)")
     args = p.parse_args(argv)
 
     from pointnet12_tpu.cli import train_semseg
 
-    log_dir = args.log_dir or f"/tmp/probe_{args.config}"
+    log_dir = args.log_dir or f"/tmp/probe_{args.config}_s{args.seed}"
     cli_argv = [
         "--model_name", "pointnet2",
         "--dataset", "synthetic",
         "--epoch", str(args.epoch),
         "--batchsize", "16",
         "--num_point", "4096",
-        "--seed", "0",
+        "--seed", str(args.seed),
         "--log_dir", log_dir,
     ] + CONFIG_FLAGS[args.config]
     best = train_semseg.main(cli_argv)
@@ -64,6 +69,7 @@ def main(argv=None):
                 "probe": "convergence",
                 "config": args.config,
                 "epoch": args.epoch,
+                "seed": args.seed,
                 "best_eval_miou": round(float(best), 4),
                 "fp32_plateau_miou": FP32_PLATEAU_MIOU,
                 "delta_vs_fp32": round(FP32_PLATEAU_MIOU - float(best), 4),

@@ -108,7 +108,8 @@ def _batches(dataset, batch_size, n_steps, seed=0):
 
 
 def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
-                   wd, precise_bn_batches=0, report_raw=False, rng_seed=0):
+                   wd, precise_bn_batches=0, report_raw=False, rng_seed=0,
+                   ignore_class=None):
     """report_raw: additionally return eval preds under the RAW EMA running
     stats (diagnostic: separates a BN-statistics quality effect from a
     trained-weights effect when precise_bn_batches > 0). rng_seed != 0
@@ -141,7 +142,12 @@ def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
             if task == "cls":
                 loss = losses_lib.classification_loss(logp, lbl, trans)
             else:
-                loss = losses_lib.segmentation_loss(logp, lbl, trans)
+                # KITTI-style --ignore_class masking: unlabeled points
+                # excluded from the NLL mean (== torch ignore_index)
+                mask = (lbl != ignore_class) if ignore_class is not None \
+                    else None
+                loss = losses_lib.segmentation_loss(logp, lbl, trans,
+                                                    mask=mask)
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -216,11 +222,12 @@ def train_eval_jax(model, variables, batches, eval_pts, eval_lbl, task, lr,
 
 
 def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
-                     channels_first):
+                     channels_first, ignore_class=None):
     tmodel.train()
     optim = torch.optim.Adam(
         tmodel.parameters(), lr=lr, weight_decay=wd
     )
+    ignore = -100 if ignore_class is None else ignore_class
     for i, (pts, lbl) in enumerate(batches):
         optim.zero_grad()
         t_in = torch.from_numpy(pts)
@@ -230,6 +237,7 @@ def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
         loss = F.nll_loss(
             logp.reshape(-1, logp.shape[-1]),
             torch.from_numpy(lbl).long().reshape(-1),
+            ignore_index=ignore,
         )
         if trans is not None:
             # UN-squared mean Frobenius norm — the lineage's typo'd
@@ -271,11 +279,19 @@ def train_eval_torch(tmodel, batches, eval_pts, eval_lbl, task, lr, wd,
 # -------------------------------------------------------------------- metrics
 
 
-def miou_of(preds, labels, num_classes):
+def miou_of(preds, labels, num_classes, ignore_class=None):
+    """Per-class IoU mean; with ignore_class, unlabeled points are
+    excluded from every intersection/union and the ignored class is
+    dropped from the mean (the --ignore_class eval semantics,
+    train/metrics.py::iou_from_confusion)."""
+    labeled = (labels != ignore_class) if ignore_class is not None else \
+        np.ones_like(labels, bool)
     ious = []
     for c in range(num_classes):
-        inter = np.sum((preds == c) & (labels == c))
-        union = np.sum((preds == c) | (labels == c))
+        if ignore_class is not None and c == ignore_class:
+            continue
+        inter = np.sum((preds == c) & (labels == c) & labeled)
+        union = np.sum(((preds == c) | (labels == c)) & labeled)
         if union > 0:
             ious.append(inter / union)
     return float(np.mean(ious))
@@ -588,12 +604,63 @@ def run_semseg(n_steps, sr=False):
     }
 
 
+def run_semseg_masked(n_steps, sr=False):
+    """KITTI-style masked-loss convergence parity (VERDICT r4 item 7):
+    pointnet2_semseg with --ignore_class 0 at 20 classes. SyntheticScene's
+    class 0 (the floor, ~1/3 of the points) plays the unlabeled class, so
+    the mask is load-bearing: a weighting bug in the masked NLL mean or
+    the masked mIoU would move the plateau visibly. torch side uses
+    F.nll_loss(ignore_index=0) — the reference's masking; metrics exclude
+    unlabeled points and drop class 0 from the IoU mean on both sides."""
+    num_classes, N, B, ignore = 20, 1024, 4, 0
+    train_ds = SyntheticScene("train", num_point=N,
+                              num_classes=num_classes, size=128)
+    test_ds = SyntheticScene("test", num_point=N,
+                             num_classes=num_classes, size=32)
+    batches = _batches(train_ds, B, n_steps)
+    eval_pts = np.stack([test_ds[i][0] for i in range(len(test_ds))])
+    eval_lbl = np.stack([test_ds[i][1] for i in range(len(test_ds))])
+
+    torch.manual_seed(5)
+    tmodel = models_torch.PointNet2SemSeg(num_classes=num_classes, channel=9)
+    variables = CONVERTERS["pointnet2_semseg"](_state_dict_np(tmodel))
+    kw = {"dtype": jnp.bfloat16, "sr": True, "grouped_sr": True} if sr else {}
+    model = get_model(
+        "pointnet2_semseg", num_classes=num_classes, impl=_IMPL, **kw
+    )
+
+    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
+                               "seg", 1e-3, 1e-4,
+                               precise_bn_batches=8 if sr else 0,
+                               ignore_class=ignore)
+    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
+                                 "seg", 1e-3, 1e-4, channels_first=False,
+                                 ignore_class=ignore)
+    labeled = eval_lbl != ignore
+    jacc = float(np.mean((jp == eval_lbl)[labeled]))
+    tacc = float(np.mean((tp == eval_lbl)[labeled]))
+    jmiou = miou_of(jp.ravel(), eval_lbl.ravel(), num_classes, ignore)
+    tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes, ignore)
+    return {
+        "case": "pointnet2_semseg_masked" + ("_bf16_sr" if sr else ""),
+        "steps": n_steps, "ignore_class": ignore,
+        "labeled_frac": float(np.mean(labeled)),
+        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
+        "jax_miou": jmiou, "torch_miou": tmiou,
+        "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
+        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
+        "within_target": abs(jacc - tacc) <= 0.005
+        and abs(jmiou - tmiou) <= 0.005,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument(
         "--case",
         choices=["cls", "cls_hard", "cls_ssg_sr", "cls_msg_sr",
-                 "cls_msg_fp32", "pointnet_seg", "semseg", "semseg_sr"],
+                 "cls_msg_fp32", "pointnet_seg", "semseg", "semseg_sr",
+                 "semseg_masked"],
         required=True,
     )
     p.add_argument("--steps", type=int, default=None)
@@ -659,6 +726,8 @@ def main(argv=None):
                           torch_only=args.torch_only, batch=args.batch)
     elif args.case == "pointnet_seg":
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
+    elif args.case == "semseg_masked":
+        out = run_semseg_masked(args.steps or 240)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
