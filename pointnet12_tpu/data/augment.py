@@ -22,17 +22,29 @@ def pc_normalize(pc: np.ndarray) -> np.ndarray:
     return pc / max(scale, 1e-12)
 
 
+# The rotation/dropout fns below are vectorized over the batch (the
+# per-cloud Python loops measured as part of a 30 ms/augment host pass vs
+# the 11.9 ms device step, bench/feeder_margin.py round 5). RNG-STREAM
+# PRESERVING: RandomState draws are a sequential stream, so e.g.
+# ``rng.uniform(size=B)`` consumes exactly the same underlying values as
+# B scalar ``rng.uniform()`` calls — outputs and post-call rng state are
+# identical to the original loops (pinned by tests/test_data.py).
+
+
 def rotate_point_cloud(
     batch: np.ndarray, rng: Optional[np.random.RandomState] = None
 ) -> np.ndarray:
     """Random rotation about the up (y) axis. batch: (B, N, >=3)."""
     rng = rng or np.random
     out = batch.copy()
-    for b in range(batch.shape[0]):
-        angle = rng.uniform() * 2 * np.pi
-        c, s = np.cos(angle), np.sin(angle)
-        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=batch.dtype)
-        out[b, :, :3] = batch[b, :, :3] @ rot
+    angle = rng.uniform(size=batch.shape[0]) * 2 * np.pi
+    c, s = np.cos(angle), np.sin(angle)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    rot = np.stack(
+        [np.stack([c, z, s], 1), np.stack([z, o, z], 1),
+         np.stack([-s, z, c], 1)], 1
+    ).astype(batch.dtype)  # (B, 3, 3)
+    out[:, :, :3] = np.matmul(batch[:, :, :3], rot)
     return out
 
 
@@ -42,11 +54,14 @@ def rotate_point_cloud_z(
     """Random rotation about z (up axis for scans/scenes)."""
     rng = rng or np.random
     out = batch.copy()
-    for b in range(batch.shape[0]):
-        angle = rng.uniform() * 2 * np.pi
-        c, s = np.cos(angle), np.sin(angle)
-        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=batch.dtype)
-        out[b, :, :3] = batch[b, :, :3] @ rot
+    angle = rng.uniform(size=batch.shape[0]) * 2 * np.pi
+    c, s = np.cos(angle), np.sin(angle)
+    z, o = np.zeros_like(c), np.ones_like(c)
+    rot = np.stack(
+        [np.stack([c, -s, z], 1), np.stack([s, c, z], 1),
+         np.stack([z, z, o], 1)], 1
+    ).astype(batch.dtype)
+    out[:, :, :3] = np.matmul(batch[:, :, :3], rot)
     return out
 
 
@@ -59,16 +74,18 @@ def rotate_perturbation_point_cloud(
     """Small random rotations about all three axes."""
     rng = rng or np.random
     out = batch.copy()
-    for b in range(batch.shape[0]):
-        a = np.clip(angle_sigma * rng.randn(3), -angle_clip, angle_clip)
-        cx, sx = np.cos(a[0]), np.sin(a[0])
-        cy, sy = np.cos(a[1]), np.sin(a[1])
-        cz, sz = np.cos(a[2]), np.sin(a[2])
-        rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-        ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-        rot = (rz @ ry @ rx).astype(batch.dtype)
-        out[b, :, :3] = batch[b, :, :3] @ rot
+    B = batch.shape[0]
+    a = np.clip(angle_sigma * rng.randn(B, 3), -angle_clip, angle_clip)
+    (cx, cy, cz), (sx, sy, sz) = np.cos(a).T, np.sin(a).T
+    z, o = np.zeros_like(cx), np.ones_like(cx)
+    rx = np.stack([np.stack([o, z, z], 1), np.stack([z, cx, -sx], 1),
+                   np.stack([z, sx, cx], 1)], 1)
+    ry = np.stack([np.stack([cy, z, sy], 1), np.stack([z, o, z], 1),
+                   np.stack([-sy, z, cy], 1)], 1)
+    rz = np.stack([np.stack([cz, -sz, z], 1), np.stack([sz, cz, z], 1),
+                   np.stack([z, z, o], 1)], 1)
+    rot = np.matmul(np.matmul(rz, ry), rx).astype(batch.dtype)
+    out[:, :, :3] = np.matmul(batch[:, :, :3], rot)
     return out
 
 
@@ -120,12 +137,13 @@ def random_point_dropout(
     """Replace a random fraction of points with the first point (keeps shape)."""
     rng = rng or np.random
     out = batch.copy()
+    # per-cloud draws stay in the loop (ratio and mask draws interleave in
+    # the rng stream); only the apply is vectorized
+    mask = np.empty(batch.shape[:2], bool)
     for b in range(batch.shape[0]):
         ratio = rng.uniform() * max_dropout_ratio
-        drop = np.where(rng.uniform(size=batch.shape[1]) <= ratio)[0]
-        if len(drop) > 0:
-            out[b, drop, :] = out[b, 0, :]
-    return out
+        mask[b] = rng.uniform(size=batch.shape[1]) <= ratio
+    return np.where(mask[..., None], out[:, :1, :], out)
 
 
 def classification_augment(

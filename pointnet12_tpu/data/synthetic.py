@@ -11,6 +11,31 @@ semantic_kitti.py.
 import numpy as np
 
 
+class _SampleCache:
+    """Materialize-on-first-access sample cache (mixin).
+
+    Procedural regeneration per ``__getitem__`` measured 94 ms per
+    16-cloud flagship batch — 8x the 11.9 ms train step, so the chip sat
+    ~90% idle behind the feeder (bench/feeder_margin.py, round 5). The
+    real-dataset loaders read RAM-resident h5 arrays; caching the
+    deterministic samples gives the synthetic twins the same economics.
+    Values are bit-identical to regeneration (generation is a pure
+    function of the index), so recorded trajectories are unaffected.
+    Memory: the largest probe set (512 scenes x 4096 x 9 f32) is ~75 MB.
+    """
+
+    _cache: dict
+
+    def _cached(self, i: int, make):
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            cache = self._cache = {}
+        hit = cache.get(i)
+        if hit is None:
+            hit = cache[i] = make()
+        return hit
+
+
 def _primitive(kind: int, n: int, aspect: float, rng) -> np.ndarray:
     """Point cloud on the surface of primitive ``kind`` (unit scale)."""
     u = rng.uniform(0, 2 * np.pi, n)
@@ -63,7 +88,7 @@ def _primitive(kind: int, n: int, aspect: float, rng) -> np.ndarray:
     return pts.astype(np.float32)
 
 
-class SyntheticModelNet:
+class SyntheticModelNet(_SampleCache):
     """ModelNet-like classification set: class = (primitive, aspect) family.
 
     Output contract matches ModelNet40H5: ``__getitem__ -> (points (N, 3)
@@ -88,6 +113,9 @@ class SyntheticModelNet:
         return self.size
 
     def __getitem__(self, i: int):
+        return self._cached(i, lambda: self._make(i))
+
+    def _make(self, i: int):
         rng = np.random.RandomState(self._seed + i)
         label = i % self.num_classes
         kind = label % 8
@@ -99,7 +127,7 @@ class SyntheticModelNet:
         return pc_normalize(pts).astype(np.float32), np.int32(label)
 
 
-class SyntheticScene:
+class SyntheticScene(_SampleCache):
     """S3DIS-like segmentation scenes: floor/walls/objects with per-point labels.
 
     Output contract matches S3DISH5: ``(points (N, 9) float32
@@ -124,6 +152,9 @@ class SyntheticScene:
         return self.size
 
     def __getitem__(self, i: int):
+        return self._cached(i, lambda: self._make(i))
+
+    def _make(self, i: int):
         rng = np.random.RandomState(self._seed + i)
         n = self.num_point
         pts = np.zeros((n, 3), np.float32)

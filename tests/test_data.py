@@ -317,3 +317,83 @@ def test_kitti_yaml_label_map(tmp_path):
                                        num_point=32)
     _, lbl_d = ds_default[0]  # standard map: 10->1, 30->6, 40->9
     assert sorted(np.unique(lbl_d)) == [1, 6, 9]
+
+
+def test_vectorized_augment_matches_original_loops():
+    """Round-5 vectorization of the per-cloud rotate/dropout loops must be
+    RNG-STREAM and VALUE identical to the original implementations (the
+    recorded convergence probes depend on the exact stream). The original
+    per-cloud loops are inlined here as the reference."""
+    from pointnet12_tpu.data import augment as aug
+
+    batch = np.random.RandomState(42).randn(6, 128, 9).astype(np.float32)
+
+    def ref_rotate(batch, rng, axis):
+        out = batch.copy()
+        for b in range(batch.shape[0]):
+            angle = rng.uniform() * 2 * np.pi
+            c, s = np.cos(angle), np.sin(angle)
+            if axis == "y":
+                rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]],
+                               dtype=batch.dtype)
+            else:
+                rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                               dtype=batch.dtype)
+            out[b, :, :3] = batch[b, :, :3] @ rot
+        return out
+
+    def ref_perturb(batch, rng, angle_sigma=0.06, angle_clip=0.18):
+        out = batch.copy()
+        for b in range(batch.shape[0]):
+            a = np.clip(angle_sigma * rng.randn(3), -angle_clip, angle_clip)
+            cx, sx = np.cos(a[0]), np.sin(a[0])
+            cy, sy = np.cos(a[1]), np.sin(a[1])
+            cz, sz = np.cos(a[2]), np.sin(a[2])
+            rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+            ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            rot = (rz @ ry @ rx).astype(batch.dtype)
+            out[b, :, :3] = batch[b, :, :3] @ rot
+        return out
+
+    def ref_dropout(batch, rng, max_dropout_ratio=0.875):
+        out = batch.copy()
+        for b in range(batch.shape[0]):
+            ratio = rng.uniform() * max_dropout_ratio
+            drop = np.where(rng.uniform(size=batch.shape[1]) <= ratio)[0]
+            if len(drop) > 0:
+                out[b, drop, :] = out[b, 0, :]
+        return out
+
+    cases = [
+        (aug.rotate_point_cloud, lambda b, r: ref_rotate(b, r, "y")),
+        (aug.rotate_point_cloud_z, lambda b, r: ref_rotate(b, r, "z")),
+        (aug.rotate_perturbation_point_cloud, ref_perturb),
+        (aug.random_point_dropout, ref_dropout),
+    ]
+    for new_fn, ref_fn in cases:
+        r_new = np.random.RandomState(7)
+        r_ref = np.random.RandomState(7)
+        got = new_fn(batch, rng=r_new)
+        exp = ref_fn(batch, r_ref)
+        np.testing.assert_allclose(got, exp, atol=1e-6, err_msg=new_fn.__name__)
+        # identical post-call rng state => the downstream stream (jitter,
+        # next batch) is untouched
+        s_new, s_ref = r_new.get_state(), r_ref.get_state()
+        assert s_new[0] == s_ref[0] and np.array_equal(s_new[1], s_ref[1])
+        assert s_new[2:] == s_ref[2:], new_fn.__name__
+
+
+def test_synthetic_cache_matches_regeneration():
+    """The materialize-on-first-access cache must return the same arrays
+    as fresh regeneration (pure function of the index)."""
+    from pointnet12_tpu.data.synthetic import SyntheticModelNet, SyntheticScene
+
+    for cls, kw in ((SyntheticModelNet, dict(num_point=64, size=8)),
+                    (SyntheticScene, dict(num_point=128, size=4))):
+        a, b = cls("train", **kw), cls("train", **kw)
+        p1, l1 = a[2]
+        p1b, l1b = a[2]  # cached hit
+        p2, l2 = b._make(2)  # fresh regeneration, no cache
+        assert np.array_equal(p1, p2) and np.array_equal(p1, p1b)
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
