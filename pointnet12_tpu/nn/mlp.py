@@ -27,6 +27,25 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.9  # == torch momentum 0.1 (complement convention)
 BN_EPS = 1e-5
 
+# EXPERIMENT knob (bench/bn_epilogue_ab.py, VERDICT r5 item 5): compute the
+# train-mode Dense outputs AND their BN batch moments in ONE Pallas pass
+# (kernels/bn_stats_fused.py), deleting the separate stat-read over the
+# just-written activation (measured at the HBM wall, ~0.46 ms/step fwd).
+# Default off until the on-chip A/B and a quality probe say otherwise;
+# toggle via set_fused_bn_stats() or POINTNET12_TPU_FUSED_BN=1.
+import os as _os
+
+_FUSED_BN_STATS = {"value": _os.environ.get("POINTNET12_TPU_FUSED_BN") == "1"}
+
+
+def set_fused_bn_stats(enabled: bool) -> None:
+    _FUSED_BN_STATS["value"] = bool(enabled)
+
+
+def fused_bn_stats_enabled() -> bool:
+    return _FUSED_BN_STATS["value"]
+
+
 # EXPERIMENT knob (bench/eval_flat_ab.py) — MEASURED DEAD END, keep False.
 # Hypothesis was: run the EVAL-mode grouped MLP chain on a flat (B, S*K, C)
 # view to skip the ~0.5 ms/step of {1,3,2,0} relayout copies on the
@@ -221,6 +240,24 @@ def _folded_dense_bn(x, dense, bn, train, dtype):
         )
         + b.astype(dtype)
     )
+
+
+def _fused_dense_bn(x, dense, bn, dtype):
+    """Train-mode Dense + batch-stat BN with the statistics accumulated in
+    the matmul's epilogue (kernels/bn_stats_fused.py) instead of a
+    separate read pass over the activation. ``dense``/``bn`` are bound
+    submodules (``nn.Dense`` / ``MomentBN``); params are created via a
+    dummy call so the variable tree matches the unfolded path exactly.
+    Returns the f32 normalized tensor — the caller applies ReLU and the
+    activation downcast, exactly as after ``nn.BatchNorm``."""
+    from pointnet12_tpu.kernels.bn_stats_fused import dense_bn_stats
+
+    dense(jnp.zeros((1, x.shape[-1]), jnp.float32))  # create params
+    kernel = dense.variables["params"]["kernel"]
+    bias = dense.variables["params"]["bias"]
+    y, mean, var = dense_bn_stats(x, kernel, bias, out_dtype=dtype)
+    eff_scale, eff_bias = bn(mean, var, True)
+    return y.astype(jnp.float32) * eff_scale + eff_bias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -454,6 +491,13 @@ class GroupedSharedMLP(nn.Module):
                     x = _folded_dense_bn(
                         x, dense, MomentBN(name=f"bn_{i}"), False, self.dtype
                     )
+                elif fused_bn_stats_enabled():
+                    # train, fused-stats experiment: BN moments ride the
+                    # matmul epilogue (kernels/bn_stats_fused.py)
+                    x = _fused_dense_bn(
+                        x, dense, MomentBN(name=f"bn_{i}"), self.dtype
+                    )
+                    x = self._down(x, train)
                 else:
                     x = dense(x)
                     x = nn.BatchNorm(
@@ -582,6 +626,12 @@ class SharedMLP(nn.Module):
                 x = _folded_dense_bn(
                     x, dense, MomentBN(name=f"bn_{i}"), False, self.dtype
                 )
+            elif self.use_bn and fused_bn_stats_enabled():
+                # train, fused-stats experiment (see knob above)
+                x = _fused_dense_bn(
+                    x, dense, MomentBN(name=f"bn_{i}"), self.dtype
+                )
+                x = _activation_cast(self, x, self.dtype, self.sr, train)
             elif self.use_bn:
                 # train: stock batch-stat BN (moment-folding measured ~2 ms
                 # slower in-step). BN compute dtype PINNED to fp32: with
