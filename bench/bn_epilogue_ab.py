@@ -28,8 +28,6 @@ _spec.loader.exec_module(_bench_root)
 
 from pointnet12_tpu.nn import mlp as mlp_lib  # noqa: E402
 
-FLAGSHIP = {"dtype": None, "sr": True, "grouped_sr": True}
-
 
 def main():
     import jax.numpy as jnp

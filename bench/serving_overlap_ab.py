@@ -94,7 +94,10 @@ def main():
                         fwd(p[c * chunk : (c + 1) * chunk])
                         for c in range(n_chunks)
                     ]
-                    return acc + sum(o[0, 0, 0] for o in outs)
+                    # full-tensor sum: consuming a slice would let XLA
+                    # narrow the head matmul to one class (measurement
+                    # discipline, CLAUDE.md) — the reduce itself is ~3 MB
+                    return acc + sum(o.sum() for o in outs)
 
                 return lax.fori_loop(0, k, body, jnp.float32(0))
 
