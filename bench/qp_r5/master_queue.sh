@@ -15,10 +15,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 OUT=bench/qp_r5/jax_runs.jsonl
 LOG=bench/qp_r5/master_queue.log
 
-# Wait for the in-flight cls_msg_sr seed-2 run (survived its queue's death).
-PREV=3908
-while kill -0 "$PREV" 2>/dev/null; do sleep 30; done
-echo "[master] $(date +%H:%M:%S) prior run exited, starting" >> "$LOG"
+# (Box restarted 2026-08-20 ~04:13 — no in-flight prior run to wait for;
+# the original PID-wait for the pre-restart cls_msg_sr seed-2 run is gone.)
+echo "[master] $(date +%H:%M:%S) starting (fresh boot)" >> "$LOG"
 
 run_qp () {
   echo "[master] $(date +%H:%M:%S) qp $*" >> "$LOG"
@@ -26,7 +25,9 @@ run_qp () {
     --eval_size 2048 "$@" 2>>"$LOG" | tail -1 >> "$OUT"
 }
 
-# --- 1. remaining bf16_sr draws (msg2 ran before this queue) ---
+# --- 1. bf16_sr draws (msg seed-2's pre-restart result was lost with the
+# box; it is re-queued here) ---
+run_qp --case cls_msg_sr --seed 2 --batch 8
 run_qp --case cls_ssg_sr --seed 2 --batch 16
 run_qp --case cls_msg_sr --seed 0 --batch 8
 run_qp --case cls_ssg_sr --seed 0 --batch 16
