@@ -50,6 +50,7 @@ def main():
         return np.stack(pts), np.stack(lbls)
 
     points, _ = assemble()
+    gen = np.random.Generator(np.random.PCG64(0))  # Feeder fast_rng path
     out = {
         "shape": [B, N, int(points.shape[-1])],
         "step_ms_ref": STEP_MS,
@@ -60,10 +61,17 @@ def main():
         "cls_augment_ms": round(
             timed(classification_augment, points, rng=rng), 2
         ),
+        "seg_augment_fast_ms": round(
+            timed(segmentation_augment, points, rng=gen), 2
+        ),
+        "cls_augment_fast_ms": round(
+            timed(classification_augment, points, rng=gen), 2
+        ),
     }
-    host = out["assemble_ms"] + out["seg_augment_ms"]
-    out["seg_host_ms"] = round(host, 2)
-    out["seg_host_over_step"] = round(host / STEP_MS, 2)
+    for tag, aug in [("seg", "seg_augment_ms"), ("seg_fast", "seg_augment_fast_ms")]:
+        host = out["assemble_ms"] + out[aug]
+        out[f"{tag}_host_ms"] = round(host, 2)
+        out[f"{tag}_host_over_step"] = round(host / STEP_MS, 2)
     print(json.dumps(out), flush=True)
 
 

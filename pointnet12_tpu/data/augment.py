@@ -29,6 +29,24 @@ def pc_normalize(pc: np.ndarray) -> np.ndarray:
 # ``rng.uniform(size=B)`` consumes exactly the same underlying values as
 # B scalar ``rng.uniform()`` calls — outputs and post-call rng state are
 # identical to the original loops (pinned by tests/test_data.py).
+#
+# Every fn also accepts a modern ``np.random.Generator`` (the Feeder's
+# opt-in ``fast_rng`` path): PCG64's ziggurat gaussians generate the
+# 196K-sample jitter noise ~1.6-2x faster than RandomState's legacy
+# polar method AND directly in float32 (halving the clip/cast traffic) —
+# the jitter randn was the dominant host-side augment cost once the
+# batch loops were vectorized (bench/feeder_margin.py). The Generator
+# stream is necessarily DIFFERENT from RandomState's, so recorded
+# trajectory/probe runs keep the RandomState default.
+
+
+def _randn(rng, shape) -> np.ndarray:
+    """Gaussian draws: stream-identical to legacy ``rng.randn(*shape)``
+    for RandomState (randn IS standard_normal); float32 ziggurat fast
+    path for Generator."""
+    if isinstance(rng, np.random.Generator):
+        return rng.standard_normal(shape, dtype=np.float32)
+    return rng.standard_normal(size=shape)
 
 
 def rotate_point_cloud(
@@ -75,7 +93,7 @@ def rotate_perturbation_point_cloud(
     rng = rng or np.random
     out = batch.copy()
     B = batch.shape[0]
-    a = np.clip(angle_sigma * rng.randn(B, 3), -angle_clip, angle_clip)
+    a = np.clip(angle_sigma * _randn(rng, (B, 3)), -angle_clip, angle_clip)
     (cx, cy, cz), (sx, sy, sz) = np.cos(a).T, np.sin(a).T
     z, o = np.zeros_like(cx), np.ones_like(cx)
     rx = np.stack([np.stack([o, z, z], 1), np.stack([z, cx, -sx], 1),
@@ -97,7 +115,7 @@ def jitter_point_cloud(
 ) -> np.ndarray:
     rng = rng or np.random
     noise = np.clip(
-        sigma * rng.randn(*batch[..., :3].shape), -clip, clip
+        sigma * _randn(rng, batch[..., :3].shape), -clip, clip
     ).astype(batch.dtype)
     out = batch.copy()
     out[..., :3] += noise

@@ -34,6 +34,7 @@ class Feeder:
         seed: int = 0,
         prefetch: bool = True,
         pad_last: bool = False,
+        fast_rng: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,7 +43,19 @@ class Feeder:
         self.seed = seed
         self.prefetch = prefetch
         self.pad_last = pad_last
+        # fast_rng: epoch rng is a PCG64 np.random.Generator instead of the
+        # legacy RandomState — ~1.6-2x faster gaussian jitter draws, in
+        # float32 (bench/feeder_margin.py round 5). DIFFERENT stream: keep
+        # False for runs that must reproduce recorded trajectories
+        # (convergence probes / quality-parity); turn on for production
+        # training where the host augment pass competes with the step.
+        self.fast_rng = fast_rng
         self._epoch = 0
+
+    def _rng(self, seed: int):
+        if self.fast_rng:
+            return np.random.Generator(np.random.PCG64(seed))
+        return np.random.RandomState(seed)
 
     def __len__(self):
         if self.pad_last:
@@ -50,7 +63,7 @@ class Feeder:
         return len(self.dataset) // self.batch_size  # drop_last semantics
 
     def _make_batches(self) -> Iterator[dict]:
-        rng = np.random.RandomState(self.seed + self._epoch)
+        rng = self._rng(self.seed + self._epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
@@ -88,7 +101,7 @@ class Feeder:
         match the training activation distribution) draws from a dedicated
         RNG seeded off the current epoch.
         """
-        rng = np.random.RandomState(self.seed + self._epoch + 777_001)
+        rng = self._rng(self.seed + self._epoch + 777_001)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)

@@ -397,3 +397,33 @@ def test_synthetic_cache_matches_regeneration():
         p2, l2 = b._make(2)  # fresh regeneration, no cache
         assert np.array_equal(p1, p2) and np.array_equal(p1, p1b)
         assert np.array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_fast_rng_generator_path():
+    """Feeder(fast_rng=True) drives the augments with a np.random.Generator:
+    deterministic per epoch, same shapes/dtype/invariants as the RandomState
+    path (a DIFFERENT stream by design — see data/loader.py)."""
+    ds = SyntheticScene("train", num_point=128, num_classes=5, size=8)
+    mk = lambda: Feeder(ds, 4, shuffle=True, prefetch=False,
+                        augment_fn=augment.segmentation_augment,
+                        fast_rng=True, seed=3)
+    b1, b2 = (list(mk()) for _ in range(2))
+    for x, y in zip(b1, b2):  # deterministic across fresh feeders
+        assert np.array_equal(x["points"], y["points"])
+        assert np.array_equal(x["label"], y["label"])
+    slow = list(Feeder(ds, 4, shuffle=True, prefetch=False,
+                       augment_fn=augment.segmentation_augment, seed=3))
+    assert b1[0]["points"].shape == slow[0]["points"].shape
+    assert b1[0]["points"].dtype == slow[0]["points"].dtype
+    assert not np.array_equal(b1[0]["points"], slow[0]["points"])
+
+    # every augment fn accepts a Generator; seg/perturb touch xyz only
+    # (classification's dropout replaces WHOLE points with the first point)
+    gen = np.random.Generator(np.random.PCG64(0))
+    batch = np.random.RandomState(1).rand(4, 64, 9).astype(np.float32)
+    for fn in (augment.classification_augment, augment.segmentation_augment,
+               augment.rotate_perturbation_point_cloud):
+        out = fn(batch, rng=gen)
+        assert out.shape == batch.shape and out.dtype == batch.dtype
+        if fn is not augment.classification_augment:
+            assert np.array_equal(out[..., 3:], batch[..., 3:])
