@@ -27,8 +27,12 @@ dead end (the honest outcome the verdict asked to record either way).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \
            python bench/serving_overlap_ab.py [--xla_lhs]
-  --xla_lhs: retry with --xla_tpu_enable_latency_hiding_scheduler=true
-             (set via XLA_FLAGS before the jax import).
+  --xla_lhs: retry with xla_tpu_enable_latency_hiding_scheduler=true.
+             NOTE: passed per-compile via jax.jit(compiler_options=...) —
+             this libtpu build's XLA_FLAGS env parser does not know the
+             TPU-side flag (fatal "Unknown flag in XLA_FLAGS", measured
+             round 5), but the debug-option name exists in libtpu and is
+             accepted through compiler_options.
 """
 
 import json
@@ -38,22 +42,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "--xla_lhs" in sys.argv:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_tpu_enable_latency_hiding_scheduler=true"
-    )
-
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+_COMPILER_OPTIONS = (
+    {"xla_tpu_enable_latency_hiding_scheduler": "true"}
+    if "--xla_lhs" in sys.argv
+    else None
+)
+
+
+def _jit(f):
+    return jax.jit(f, compiler_options=_COMPILER_OPTIONS)
 
 NUM_POINT, NUM_CLASSES, FEAT, TOTAL = 4096, 13, 9, 16
 
 
 def marginal(make_looped, *args, short=2, long=22, reps=5):
-    f_short = jax.jit(make_looped(short))
-    f_long = jax.jit(make_looped(long))
+    f_short = _jit(make_looped(short))
+    f_long = _jit(make_looped(long))
 
     def run(f):
         out = f(*args)
@@ -117,7 +125,7 @@ def main():
     # async2: two in-flight dispatches (no fori loop — host-side pipelining
     # is exactly what the marginal loop hides, so time it wall-clock over
     # many dispatch pairs instead)
-    f8 = jax.jit(fwd)
+    f8 = _jit(fwd)
     a, b = points[:8], points[8:]
     oa = f8(a); ob = f8(b); jax.block_until_ready((oa, ob))  # compile+warm
     reps, iters = 5, 20
