@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -64,13 +65,20 @@ def _kernel(x_ref, w_ref, b_ref, y_ref, s_ref, ss_ref, s_acc, ss_acc,
     xb = x_ref[...].reshape(rows, ci)
     acc = jnp.dot(xb, w_ref[...], preferred_element_type=jnp.float32)
     y = _cast_out(acc, b_ref[...], bf16_out)
-    # stats MUST see the rounded values: without the barrier, XLA's
-    # excess-precision pass folds the f32(bf16(acc)+bf16(b)) chain feeding
-    # the sums and the stats come out over UNROUNDED values (measured
-    # 0.35 off on a 256-row sum in interpret mode)
-    y = jax.lax.optimization_barrier(y)
     y_ref[...] = y.reshape(y_ref.shape)
-    yf = y.astype(jnp.float32)
+    # stats MUST see the ROUNDED values. Neither a plain astype back to
+    # f32 nor a store/load round-trip survives compilation: the excess-
+    # precision pass folds the f32->bf16->f32 convert chain feeding the
+    # sums and the stats come out over UNROUNDED values (measured 0.35
+    # off on a 256-row sum). lax.optimization_barrier has no Pallas TPU
+    # lowering (fatal on-chip, measured round 5). Bit-exact and fold-proof
+    # instead: f32(bf16 v) IS v's bits in the high 16 — reconstruct
+    # through integer bitcasts, which no pass can elide.
+    if bf16_out:
+        bits = lax.bitcast_convert_type(y, jnp.uint16).astype(jnp.uint32)
+        yf = lax.bitcast_convert_type(bits << 16, jnp.float32)
+    else:
+        yf = y
     s_acc[...] += jnp.sum(yf, axis=0, keepdims=True)
     ss_acc[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
