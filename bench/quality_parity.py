@@ -604,14 +604,21 @@ def run_semseg(n_steps, sr=False):
     }
 
 
-def run_semseg_masked(n_steps, sr=False):
+def run_semseg_masked(n_steps, sr=False, jax_draws=1):
     """KITTI-style masked-loss convergence parity (VERDICT r4 item 7):
     pointnet2_semseg with --ignore_class 0 at 20 classes. SyntheticScene's
     class 0 (the floor, ~1/3 of the points) plays the unlabeled class, so
     the mask is load-bearing: a weighting bug in the masked NLL mean or
     the masked mIoU would move the plateau visibly. torch side uses
     F.nll_loss(ignore_index=0) — the reference's masking; metrics exclude
-    unlabeled points and drop class 0 from the IoU mean on both sides."""
+    unlabeled points and drop class 0 from the IoU mean on both sides.
+
+    jax_draws > 1: train the jax side that many times with perturbed
+    dropout/SR rng streams (same init, same batches — the torch run is
+    shared) and report every draw. The per-draw spread is the probe's own
+    trajectory noise: the round-5 single-draw run landed delta 1.7%/1.8%
+    (acc/mIoU), and whether that clears or flags the 0.5% bar depends on
+    comparing it against this spread."""
     num_classes, N, B, ignore = 20, 1024, 4, 0
     train_ds = SyntheticScene("train", num_point=N,
                               num_classes=num_classes, size=128)
@@ -629,19 +636,28 @@ def run_semseg_masked(n_steps, sr=False):
         "pointnet2_semseg", num_classes=num_classes, impl=_IMPL, **kw
     )
 
-    jp, jloss = train_eval_jax(model, variables, batches, eval_pts, eval_lbl,
-                               "seg", 1e-3, 1e-4,
-                               precise_bn_batches=8 if sr else 0,
-                               ignore_class=ignore)
+    labeled = eval_lbl != ignore
+    draws = []
+    for d in range(jax_draws):
+        jp, jloss = train_eval_jax(model, variables, batches, eval_pts,
+                                   eval_lbl, "seg", 1e-3, 1e-4,
+                                   precise_bn_batches=8 if sr else 0,
+                                   ignore_class=ignore, rng_seed=d)
+        draws.append({
+            "rng_seed": d,
+            "jax_eval_acc": float(np.mean((jp == eval_lbl)[labeled])),
+            "jax_miou": miou_of(jp.ravel(), eval_lbl.ravel(),
+                                num_classes, ignore),
+            "jax_final_train_loss": jloss,
+        })
     tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
                                  "seg", 1e-3, 1e-4, channels_first=False,
                                  ignore_class=ignore)
-    labeled = eval_lbl != ignore
-    jacc = float(np.mean((jp == eval_lbl)[labeled]))
+    jacc, jmiou = draws[0]["jax_eval_acc"], draws[0]["jax_miou"]
+    jloss = draws[0]["jax_final_train_loss"]
     tacc = float(np.mean((tp == eval_lbl)[labeled]))
-    jmiou = miou_of(jp.ravel(), eval_lbl.ravel(), num_classes, ignore)
     tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes, ignore)
-    return {
+    out = {
         "case": "pointnet2_semseg_masked" + ("_bf16_sr" if sr else ""),
         "steps": n_steps, "ignore_class": ignore,
         "labeled_frac": float(np.mean(labeled)),
@@ -652,6 +668,13 @@ def run_semseg_masked(n_steps, sr=False):
         "within_target": abs(jacc - tacc) <= 0.005
         and abs(jmiou - tmiou) <= 0.005,
     }
+    if jax_draws > 1:
+        out["jax_draws"] = draws
+        accs = [x["jax_eval_acc"] for x in draws]
+        mious = [x["jax_miou"] for x in draws]
+        out["jax_acc_spread"] = max(accs) - min(accs)
+        out["jax_miou_spread"] = max(mious) - min(mious)
+    return out
 
 
 def main(argv=None):
@@ -690,6 +713,10 @@ def main(argv=None):
     p.add_argument("--eval_size", type=int, default=256,
                    help="cls_ssg/cls_msg eval-set size (round-5 protocol "
                         "uses 2048: binomial 1-sigma <= 0.45%%)")
+    p.add_argument("--jax_draws", type=int, default=1,
+                   help="semseg_masked: extra jax-side trainings with "
+                        "perturbed rng streams (shared torch run) — "
+                        "measures the probe's own trajectory noise")
     p.add_argument("--batch", type=int, default=16,
                    help="cls_ssg/cls_msg train batch size (both stacks)")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
@@ -727,7 +754,8 @@ def main(argv=None):
     elif args.case == "pointnet_seg":
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     elif args.case == "semseg_masked":
-        out = run_semseg_masked(args.steps or 240)
+        out = run_semseg_masked(args.steps or 240,
+                                jax_draws=args.jax_draws)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))
