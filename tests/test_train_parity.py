@@ -31,6 +31,22 @@ from pointnet12_tpu.train import losses as losses_lib
 from pointnet12_tpu.utils.torch_import import CONVERTERS
 from tests.torch_ref import models_torch
 
+
+@pytest.fixture(autouse=True)
+def _naive_oracle_path():
+    """Pin the oracle to its naive Conv2d/BatchNorm2d execution path.
+
+    The thresholds here were calibrated against that path (rounds 1-3);
+    FAST_MLP's channels-last matmul changes only fp32 accumulation order,
+    but radius-boundary ball-query membership flips amplify that roundoff
+    into sparse few-percent grad diffs (measured: semseg grad cosine
+    0.9952 vs the 0.999 gate with FAST_MLP on). The fast path's own
+    equivalence gate is tests/test_torch_ref_fast.py (f64)."""
+    prev = models_torch.FAST_MLP
+    models_torch.FAST_MLP = False
+    yield
+    models_torch.FAST_MLP = prev
+
 LR = 0.01
 KEY = jax.random.PRNGKey(0)
 
