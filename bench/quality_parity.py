@@ -24,6 +24,7 @@ docs/QUALITY_PARITY.md.
 """
 
 import argparse
+import copy
 import json
 import os
 import sys
@@ -604,7 +605,8 @@ def run_semseg(n_steps, sr=False):
     }
 
 
-def run_semseg_masked(n_steps, sr=False, jax_draws=1):
+def run_semseg_masked(n_steps, sr=False, jax_draws=1, torch_draws=1,
+                      torch_only=False):
     """KITTI-style masked-loss convergence parity (VERDICT r4 item 7):
     pointnet2_semseg with --ignore_class 0 at 20 classes. SyntheticScene's
     class 0 (the floor, ~1/3 of the points) plays the unlabeled class, so
@@ -618,7 +620,15 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1):
     shared) and report every draw. The per-draw spread is the probe's own
     trajectory noise: the round-5 single-draw run landed delta 1.7%/1.8%
     (acc/mIoU), and whether that clears or flags the 0.5% bar depends on
-    comparing it against this spread."""
+    comparing it against this spread.
+
+    torch_draws > 1: symmetric noise measurement on the ORACLE side —
+    retrain the same seed-5 init that many times with a perturbed torch
+    dropout stream (manual_seed(1000+d) before training; draw 0 keeps the
+    historical unseeded stream so it reproduces the recorded run). The
+    jax-draw spread alone cannot attribute a delta: if torch's own draws
+    spread comparably and straddle the jax band, the delta is trajectory
+    noise, not a framework gap."""
     num_classes, N, B, ignore = 20, 1024, 4, 0
     train_ds = SyntheticScene("train", num_point=N,
                               num_classes=num_classes, size=128)
@@ -638,7 +648,7 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1):
 
     labeled = eval_lbl != ignore
     draws = []
-    for d in range(jax_draws):
+    for d in range(0 if torch_only else jax_draws):
         jp, jloss = train_eval_jax(model, variables, batches, eval_pts,
                                    eval_lbl, "seg", 1e-3, 1e-4,
                                    precise_bn_batches=8 if sr else 0,
@@ -650,30 +660,55 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1):
                                 num_classes, ignore),
             "jax_final_train_loss": jloss,
         })
-    tp, tloss = train_eval_torch(tmodel, batches, eval_pts, eval_lbl,
-                                 "seg", 1e-3, 1e-4, channels_first=False,
-                                 ignore_class=ignore)
-    jacc, jmiou = draws[0]["jax_eval_acc"], draws[0]["jax_miou"]
-    jloss = draws[0]["jax_final_train_loss"]
-    tacc = float(np.mean((tp == eval_lbl)[labeled]))
-    tmiou = miou_of(tp.ravel(), eval_lbl.ravel(), num_classes, ignore)
+    tdraws = []
+    for d in range(torch_draws):
+        tm = copy.deepcopy(tmodel)
+        if d > 0:
+            torch.manual_seed(1000 + d)
+        tp, tl = train_eval_torch(tm, batches, eval_pts, eval_lbl,
+                                  "seg", 1e-3, 1e-4, channels_first=False,
+                                  ignore_class=ignore)
+        tdraws.append({
+            "dropout_seed": "unseeded" if d == 0 else 1000 + d,
+            "torch_eval_acc": float(np.mean((tp == eval_lbl)[labeled])),
+            "torch_miou": miou_of(tp.ravel(), eval_lbl.ravel(),
+                                  num_classes, ignore),
+            "torch_final_train_loss": tl,
+        })
+        if torch_draws > 1:  # stream: a killed run keeps finished draws
+            print(json.dumps({"case": "pointnet2_semseg_masked",
+                              "torch_draw": tdraws[-1]}), flush=True)
+    tacc, tmiou = tdraws[0]["torch_eval_acc"], tdraws[0]["torch_miou"]
+    tloss = tdraws[0]["torch_final_train_loss"]
     out = {
         "case": "pointnet2_semseg_masked" + ("_bf16_sr" if sr else ""),
         "steps": n_steps, "ignore_class": ignore,
         "labeled_frac": float(np.mean(labeled)),
-        "jax_eval_acc": jacc, "torch_eval_acc": tacc,
-        "jax_miou": jmiou, "torch_miou": tmiou,
-        "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
-        "jax_final_train_loss": jloss, "torch_final_train_loss": tloss,
-        "within_target": abs(jacc - tacc) <= 0.005
-        and abs(jmiou - tmiou) <= 0.005,
+        "torch_eval_acc": tacc, "torch_miou": tmiou,
+        "torch_final_train_loss": tloss,
     }
+    if draws:
+        jacc, jmiou = draws[0]["jax_eval_acc"], draws[0]["jax_miou"]
+        jloss = draws[0]["jax_final_train_loss"]
+        out.update({
+            "jax_eval_acc": jacc, "jax_miou": jmiou,
+            "jax_final_train_loss": jloss,
+            "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
+            "within_target": abs(jacc - tacc) <= 0.005
+            and abs(jmiou - tmiou) <= 0.005,
+        })
     if jax_draws > 1:
         out["jax_draws"] = draws
         accs = [x["jax_eval_acc"] for x in draws]
         mious = [x["jax_miou"] for x in draws]
         out["jax_acc_spread"] = max(accs) - min(accs)
         out["jax_miou_spread"] = max(mious) - min(mious)
+    if torch_draws > 1:
+        out["torch_draws"] = tdraws
+        taccs = [x["torch_eval_acc"] for x in tdraws]
+        tmious = [x["torch_miou"] for x in tdraws]
+        out["torch_acc_spread"] = max(taccs) - min(taccs)
+        out["torch_miou_spread"] = max(tmious) - min(tmious)
     return out
 
 
@@ -717,6 +752,12 @@ def main(argv=None):
                    help="semseg_masked: extra jax-side trainings with "
                         "perturbed rng streams (shared torch run) — "
                         "measures the probe's own trajectory noise")
+    p.add_argument("--torch_draws", type=int, default=1,
+                   help="semseg_masked: torch-side trainings from the same "
+                        "seed-5 init with perturbed dropout streams (draw 0 "
+                        "keeps the historical unseeded stream) — the "
+                        "oracle's own trajectory noise; with --torch_only "
+                        "the jax side is skipped entirely")
     p.add_argument("--batch", type=int, default=16,
                    help="cls_ssg/cls_msg train batch size (both stacks)")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
@@ -755,7 +796,9 @@ def main(argv=None):
         out = run_pointnet_seg(args.steps or 1200, seed=args.seed)
     elif args.case == "semseg_masked":
         out = run_semseg_masked(args.steps or 240,
-                                jax_draws=args.jax_draws)
+                                jax_draws=args.jax_draws,
+                                torch_draws=args.torch_draws,
+                                torch_only=args.torch_only)
     else:
         out = run_semseg(args.steps or 240, sr=args.case == "semseg_sr")
     print(json.dumps(out))

@@ -20,6 +20,12 @@ fp32 — the serving config):
   async2  two separate B=8 jitted dispatches in flight before the first
           block (host-side pipelining; device-side the single core runs
           programs in-order, so this bounds dispatch overlap only)
+  dual16  two independent B=16 forwards in ONE program, timed per 32
+          clouds. The deconfounded occupancy test: split2/split4 halve
+          or quarter the batch, so their loss mixes the measured B=16
+          batch-knee penalty with lack-of-overlap; dual16 keeps BOTH
+          chains at the optimal per-kernel shape. If the scheduler can
+          interleave units at all, dual16's per-cloud time beats mono's.
 
 If split2/split4 land at mono's time, the core serializes HLO ops
 regardless of dependence structure and the occupancy idea is a measured
@@ -121,6 +127,29 @@ def main():
             "clouds_per_sec": round(TOTAL / ms * 1e3, 1),
         }
         print(json.dumps({name: out[name]}), flush=True)
+
+    # dual16: two independent FULL B=16 chains in one program (32 clouds
+    # per loop iteration). The second chain's input is a value-distinct
+    # tensor so XLA cannot CSE the chains into one.
+    points2 = jax.random.uniform(jax.random.PRNGKey(1), points.shape)
+
+    def make_dual(k):
+        def run(pa, pb):
+            def body(i, acc):
+                a, b = lax.optimization_barrier((pa, pb, acc))[:2]
+                return acc + fwd(a).sum() + fwd(b).sum()
+
+            return lax.fori_loop(0, k, body, jnp.float32(0))
+
+        return run
+
+    ms = marginal(make_dual, points, points2) * 1e3
+    out["dual16"] = {
+        "batch_ms": round(ms, 2),
+        "clouds_per_sec": round(2 * TOTAL / ms * 1e3, 1),
+        "clouds": 2 * TOTAL,
+    }
+    print(json.dumps({"dual16": out["dual16"]}), flush=True)
 
     # async2: two in-flight dispatches (no fori loop — host-side pipelining
     # is exactly what the marginal loop hides, so time it wall-clock over
