@@ -628,7 +628,13 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1, torch_draws=1,
     historical unseeded stream so it reproduces the recorded run). The
     jax-draw spread alone cannot attribute a delta: if torch's own draws
     spread comparably and straddle the jax band, the delta is trajectory
-    noise, not a framework gap."""
+    noise, not a framework gap.
+
+    torch_draws == 0: skip the oracle entirely (it costs ~2h on this
+    1-core box while a jax TPU draw is minutes) and emit only the jax
+    draws; deltas are computed against the recorded oracle run when the
+    caller passes it in the environment via run_semseg_masked's JSON
+    consumer (summarize against torch_runs/masked_torch_draws)."""
     num_classes, N, B, ignore = 20, 1024, 4, 0
     train_ds = SyntheticScene("train", num_point=N,
                               num_classes=num_classes, size=128)
@@ -660,6 +666,9 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1, torch_draws=1,
                                 num_classes, ignore),
             "jax_final_train_loss": jloss,
         })
+        if jax_draws > 1:  # stream: a killed run keeps finished draws
+            print(json.dumps({"case": "pointnet2_semseg_masked",
+                              "jax_draw": draws[-1]}), flush=True)
     tdraws = []
     for d in range(torch_draws):
         tm = copy.deepcopy(tmodel)
@@ -678,16 +687,19 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1, torch_draws=1,
         if torch_draws > 1:  # stream: a killed run keeps finished draws
             print(json.dumps({"case": "pointnet2_semseg_masked",
                               "torch_draw": tdraws[-1]}), flush=True)
-    tacc, tmiou = tdraws[0]["torch_eval_acc"], tdraws[0]["torch_miou"]
-    tloss = tdraws[0]["torch_final_train_loss"]
     out = {
         "case": "pointnet2_semseg_masked" + ("_bf16_sr" if sr else ""),
         "steps": n_steps, "ignore_class": ignore,
         "labeled_frac": float(np.mean(labeled)),
-        "torch_eval_acc": tacc, "torch_miou": tmiou,
-        "torch_final_train_loss": tloss,
     }
-    if draws:
+    if tdraws:
+        tacc, tmiou = tdraws[0]["torch_eval_acc"], tdraws[0]["torch_miou"]
+        tloss = tdraws[0]["torch_final_train_loss"]
+        out.update({
+            "torch_eval_acc": tacc, "torch_miou": tmiou,
+            "torch_final_train_loss": tloss,
+        })
+    if draws and tdraws:
         jacc, jmiou = draws[0]["jax_eval_acc"], draws[0]["jax_miou"]
         jloss = draws[0]["jax_final_train_loss"]
         out.update({
@@ -696,6 +708,12 @@ def run_semseg_masked(n_steps, sr=False, jax_draws=1, torch_draws=1,
             "delta_acc": abs(jacc - tacc), "delta_miou": abs(jmiou - tmiou),
             "within_target": abs(jacc - tacc) <= 0.005
             and abs(jmiou - tmiou) <= 0.005,
+        })
+    elif draws:  # torch_draws == 0: jax-only emission, no deltas
+        out.update({
+            "jax_eval_acc": draws[0]["jax_eval_acc"],
+            "jax_miou": draws[0]["jax_miou"],
+            "jax_final_train_loss": draws[0]["jax_final_train_loss"],
         })
     if jax_draws > 1:
         out["jax_draws"] = draws
