@@ -241,8 +241,73 @@ def main(argv=None):
         print("\n".join(plines))
         print()
 
+    # ---- masked-loss case (VERDICT r5 item 7): per-side trajectory
+    # draws vs the recorded single-draw delta. jax draws stream into
+    # masked_jax_draws.jsonl; oracle draws (2h each on the 1-core box)
+    # into masked_torch_draws.jsonl when the queue has run.
+    masked = {}
+    jd, td = [], []
+    for r in parse(os.path.join(args.dir, "masked_jax_draws.jsonl")):
+        if "jax_draw" in r:
+            jd.append(r["jax_draw"])
+        for t in r.get("torch_draws", []):
+            td.append(t)
+    for r in parse(os.path.join(args.dir, "masked_torch_draws.jsonl")):
+        if "torch_draw" in r:
+            td.append(r["torch_draw"])
+        for t in r.get("torch_draws", []):
+            td.append(t)
+    # recorded single torch draw from the original paired run
+    for r in jax_rows:
+        if r.get("case") == "pointnet2_semseg_masked" and "torch_eval_acc" in r:
+            td.append({"dropout_seed": "unseeded",
+                       "torch_eval_acc": r["torch_eval_acc"],
+                       "torch_miou": r["torch_miou"]})
+    # dedup oracle draws by seed tag (the unseeded draw may appear twice)
+    seen_t, td_u = set(), []
+    for t in td:
+        tag = t.get("dropout_seed", "unseeded")
+        if tag not in seen_t:
+            seen_t.add(tag)
+            td_u.append(t)
+    if jd:
+        ja = [x["jax_eval_acc"] for x in jd]
+        jm = [x["jax_miou"] for x in jd]
+        masked["jax"] = {
+            "n": len(jd), "acc_mean": round(mean(ja), 4),
+            "acc_spread": round(max(ja) - min(ja), 4),
+            "miou_mean": round(mean(jm), 4),
+            "miou_spread": round(max(jm) - min(jm), 4),
+        }
+    if td_u:
+        ta = [x["torch_eval_acc"] for x in td_u]
+        tm = [x["torch_miou"] for x in td_u]
+        masked["torch"] = {
+            "n": len(td_u), "acc_mean": round(mean(ta), 4),
+            "acc_spread": round(max(ta) - min(ta), 4),
+            "miou_mean": round(mean(tm), 4),
+            "miou_spread": round(max(tm) - min(tm), 4),
+        }
+    if jd and td_u:
+        masked["delta_acc_mean"] = round(
+            mean([x["jax_eval_acc"] for x in jd])
+            - mean([x["torch_eval_acc"] for x in td_u]), 4)
+        masked["delta_miou_mean"] = round(
+            mean([x["jax_miou"] for x in jd])
+            - mean([x["torch_miou"] for x in td_u]), 4)
+        print(f"masked case: jax n={len(jd)} "
+              f"acc {masked['jax']['acc_mean']:.4f} "
+              f"(spread {masked['jax']['acc_spread']:.4f}) "
+              f"miou {masked['jax']['miou_mean']:.4f} "
+              f"(spread {masked['jax']['miou_spread']:.4f}) | "
+              f"torch n={len(td_u)} acc {masked['torch']['acc_mean']:.4f} "
+              f"(spread {masked['torch']['acc_spread']:.4f}) | "
+              f"Δacc {masked['delta_acc_mean']:+.4f} "
+              f"Δmiou {masked['delta_miou_mean']:+.4f}")
+        print()
+
     print(json.dumps({"paired_cls": out, "dist_cls": dist,
-                      "probes": probes}))
+                      "probes": probes, "masked": masked}))
     return out
 
 
